@@ -1,0 +1,538 @@
+"""Real-pair complex arithmetic — the foundation of the TPU compute path.
+
+The TPU backend (and the MXU in particular) has no native complex dtype
+support; XLA complex lowering is unavailable on this target (probed
+empirically: any ``complex64`` op raises UNIMPLEMENTED). Instead of
+translating the reference's numpy-complex code, every on-device complex
+tensor in this framework is a :class:`CArray` — a pytree of two real arrays
+``(re, im)`` — and complex arithmetic is built explicitly from real ops:
+
+  * elementwise ops ride the VPU on float32/bfloat16 lanes,
+  * complex matmul lowers to THREE real MXU matmuls (Gauss/Karatsuba trick)
+    instead of four,
+  * FFTs become DFT-matrix matmuls (`pyphysim_tpu.ops.fft`) that run on the
+    MXU — far faster on TPU than a butterfly network of gathers,
+  * complex linear solves / eigendecompositions lower to real operations on
+    the standard 2Nx2N isomorphic embedding ``[[Ar, -Ai], [Ai, Ar]]``.
+
+CArray is a NamedTuple, hence automatically a pytree: it vmaps, scans,
+jits, shards and pytree-flattens with zero glue. Host boundaries convert
+to/from numpy complex with :func:`from_numpy` / :meth:`CArray.to_numpy`.
+
+This file replaces nothing in the reference (pyphysim is numpy-complex
+throughout); it exists because the TPU-native design demands it.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Scalar = Union[int, float, complex]
+
+__all__ = [
+    "CArray", "carray", "from_numpy", "to_numpy", "zeros", "ones", "full",
+    "eye", "cexp", "exp", "matmul", "solve", "inv", "eigh", "svd", "qr",
+    "where", "sum", "mean", "stack", "concatenate", "outer", "einsum",
+]
+
+
+class CArray(NamedTuple):
+    """A complex tensor as a pair of real arrays (re, im).
+
+    Being a NamedTuple it is a pytree; all jax transforms apply. Methods
+    mirror the ndarray surface the simulation code needs. Binary ops accept
+    CArray, real jnp arrays, and python/numpy scalars (incl. complex).
+    """
+
+    re: jnp.ndarray
+    im: jnp.ndarray
+
+    # -- basic metadata ----------------------------------------------------
+
+    @property
+    def shape(self):
+        return jnp.shape(self.re)
+
+    @property
+    def ndim(self):
+        return jnp.ndim(self.re)
+
+    @property
+    def dtype(self):
+        return jnp.asarray(self.re).dtype
+
+    @property
+    def size(self):
+        return jnp.size(self.re)
+
+    # -- conversion --------------------------------------------------------
+
+    def to_numpy(self) -> np.ndarray:
+        """Materialize as a host numpy complex array."""
+        return np.asarray(self.re) + 1j * np.asarray(self.im)
+
+    def astype(self, dtype) -> "CArray":
+        return CArray(self.re.astype(dtype), self.im.astype(dtype))
+
+    # -- unary -------------------------------------------------------------
+
+    def conj(self) -> "CArray":
+        return CArray(self.re, -self.im)
+
+    def abs2(self) -> jnp.ndarray:
+        """|x|^2 as a real array (avoids the sqrt of abs)."""
+        return self.re * self.re + self.im * self.im
+
+    def abs(self) -> jnp.ndarray:
+        return jnp.sqrt(self.abs2())
+
+    def angle(self) -> jnp.ndarray:
+        return jnp.arctan2(self.im, self.re)
+
+    @property
+    def real(self) -> jnp.ndarray:
+        return self.re
+
+    @property
+    def imag(self) -> jnp.ndarray:
+        return self.im
+
+    def __neg__(self) -> "CArray":
+        return CArray(-self.re, -self.im)
+
+    # -- binary ------------------------------------------------------------
+
+    def __add__(self, other) -> "CArray":
+        o = _coerce(other)
+        return CArray(self.re + o.re, self.im + o.im)
+
+    __radd__ = __add__
+
+    def __sub__(self, other) -> "CArray":
+        o = _coerce(other)
+        return CArray(self.re - o.re, self.im - o.im)
+
+    def __rsub__(self, other) -> "CArray":
+        o = _coerce(other)
+        return CArray(o.re - self.re, o.im - self.im)
+
+    def __mul__(self, other) -> "CArray":
+        if _is_real(other):
+            return CArray(self.re * other, self.im * other)
+        o = _coerce(other)
+        return CArray(self.re * o.re - self.im * o.im,
+                      self.re * o.im + self.im * o.re)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other) -> "CArray":
+        if _is_real(other):
+            return CArray(self.re / other, self.im / other)
+        o = _coerce(other)
+        d = o.abs2()
+        return CArray((self.re * o.re + self.im * o.im) / d,
+                      (self.im * o.re - self.re * o.im) / d)
+
+    def __rtruediv__(self, other) -> "CArray":
+        o = _coerce(other)
+        return o.__truediv__(self)
+
+    def __matmul__(self, other) -> "CArray":
+        return matmul(self, other)
+
+    # -- shape ops ---------------------------------------------------------
+
+    def reshape(self, *shape) -> "CArray":
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        return CArray(self.re.reshape(shape), self.im.reshape(shape))
+
+    def ravel(self) -> "CArray":
+        return CArray(self.re.ravel(), self.im.ravel())
+
+    def transpose(self, *axes) -> "CArray":
+        if len(axes) == 1 and isinstance(axes[0], (tuple, list)):
+            axes = tuple(axes[0])
+        axes = axes or None
+        return CArray(jnp.transpose(self.re, axes), jnp.transpose(self.im, axes))
+
+    def swapaxes(self, a: int, b: int) -> "CArray":
+        return CArray(jnp.swapaxes(self.re, a, b), jnp.swapaxes(self.im, a, b))
+
+    @property
+    def mT(self) -> "CArray":
+        """Matrix transpose of the trailing two axes."""
+        return self.swapaxes(-1, -2)
+
+    @property
+    def mH(self) -> "CArray":
+        """Conjugate (Hermitian) transpose of the trailing two axes."""
+        return CArray(jnp.swapaxes(self.re, -1, -2),
+                      -jnp.swapaxes(self.im, -1, -2))
+
+    def __getitem__(self, idx) -> "CArray":
+        return CArray(self.re[idx], self.im[idx])
+
+    def at_set(self, idx, value) -> "CArray":
+        v = _coerce(value)
+        return CArray(self.re.at[idx].set(v.re), self.im.at[idx].set(v.im))
+
+    def at_add(self, idx, value) -> "CArray":
+        v = _coerce(value)
+        return CArray(self.re.at[idx].add(v.re), self.im.at[idx].add(v.im))
+
+    # -- reductions (see also module-level sum/mean) -----------------------
+
+    def sum(self, axis=None, keepdims=False) -> "CArray":
+        return CArray(jnp.sum(self.re, axis=axis, keepdims=keepdims),
+                      jnp.sum(self.im, axis=axis, keepdims=keepdims))
+
+    def mean(self, axis=None, keepdims=False) -> "CArray":
+        return CArray(jnp.mean(self.re, axis=axis, keepdims=keepdims),
+                      jnp.mean(self.im, axis=axis, keepdims=keepdims))
+
+
+# ---------------------------------------------------------------------------
+# Construction
+# ---------------------------------------------------------------------------
+
+
+def carray(re, im=None) -> CArray:
+    """Build a CArray from real/imag parts (or a numpy complex array)."""
+    if im is None:
+        if isinstance(re, CArray):
+            return re
+        if isinstance(re, (np.ndarray, np.generic)) and np.iscomplexobj(re):
+            return from_numpy(re)
+        if isinstance(re, complex):
+            return CArray(jnp.asarray(re.real, jnp.float32),
+                          jnp.asarray(re.imag, jnp.float32))
+        re = jnp.asarray(re)
+        return CArray(re, jnp.zeros_like(re))
+    return CArray(jnp.asarray(re), jnp.asarray(im))
+
+
+def from_numpy(x, dtype=jnp.float32) -> CArray:
+    """Convert a host numpy (complex or real) array to an on-device CArray."""
+    x = np.asarray(x)
+    return CArray(jnp.asarray(x.real.astype(np.float64), dtype=dtype),
+                  jnp.asarray(x.imag.astype(np.float64), dtype=dtype)
+                  if np.iscomplexobj(x) else jnp.zeros(x.shape, dtype))
+
+
+def to_numpy(x: CArray) -> np.ndarray:
+    return x.to_numpy()
+
+
+def zeros(shape, dtype=jnp.float32) -> CArray:
+    return CArray(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def ones(shape, dtype=jnp.float32) -> CArray:
+    return CArray(jnp.ones(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def full(shape, value: Scalar, dtype=jnp.float32) -> CArray:
+    value = complex(value)
+    return CArray(jnp.full(shape, value.real, dtype),
+                  jnp.full(shape, value.imag, dtype))
+
+
+def eye(n: int, dtype=jnp.float32) -> CArray:
+    return CArray(jnp.eye(n, dtype=dtype), jnp.zeros((n, n), dtype))
+
+
+def cexp(theta: jnp.ndarray) -> CArray:
+    """``exp(j * theta)`` for real ``theta`` — the workhorse of Jakes
+    fading generation and constellation construction."""
+    return CArray(jnp.cos(theta), jnp.sin(theta))
+
+
+def exp(x: CArray) -> CArray:
+    """Complex exponential ``exp(re) * exp(j im)``."""
+    m = jnp.exp(x.re)
+    return CArray(m * jnp.cos(x.im), m * jnp.sin(x.im))
+
+
+# ---------------------------------------------------------------------------
+# Matmul & einsum (MXU path)
+# ---------------------------------------------------------------------------
+
+
+def matmul(a, b, *, precision=None) -> CArray:
+    """Complex matrix multiply via the 3-real-matmul Gauss trick.
+
+    ``(Ar + jAi)(Br + jBi)``: with ``t1 = Ar Br``, ``t2 = Ai Bi`` and
+    ``t3 = (Ar + Ai)(Br + Bi)``, the result is ``(t1 - t2) + j(t3 - t1 - t2)``
+    — 25% fewer MXU FLOPs than the naive four-matmul form.
+    """
+    a = _coerce(a)
+    b = _coerce(b)
+    t1 = jnp.matmul(a.re, b.re, precision=precision)
+    t2 = jnp.matmul(a.im, b.im, precision=precision)
+    t3 = jnp.matmul(a.re + a.im, b.re + b.im, precision=precision)
+    return CArray(t1 - t2, t3 - t1 - t2)
+
+
+def einsum(subscripts: str, a, b, *, precision=None) -> CArray:
+    """Two-operand complex einsum via the same 3-contraction Gauss trick."""
+    a = _coerce(a)
+    b = _coerce(b)
+    t1 = jnp.einsum(subscripts, a.re, b.re, precision=precision)
+    t2 = jnp.einsum(subscripts, a.im, b.im, precision=precision)
+    t3 = jnp.einsum(subscripts, a.re + a.im, b.re + b.im, precision=precision)
+    return CArray(t1 - t2, t3 - t1 - t2)
+
+
+def outer(a: CArray, b: CArray) -> CArray:
+    """Complex outer product ``a b^T`` of 1-D inputs (batched on leading
+    dims): shape (..., n, m)."""
+    a = _coerce(a)
+    b = _coerce(b)
+    ar, ai = a.re[..., :, None], a.im[..., :, None]
+    br, bi = b.re[..., None, :], b.im[..., None, :]
+    return CArray(ar * br - ai * bi, ar * bi + ai * br)
+
+
+# ---------------------------------------------------------------------------
+# Linear algebra via the real 2Nx2N embedding
+# ---------------------------------------------------------------------------
+
+
+def _embed(a: CArray) -> jnp.ndarray:
+    """Isomorphic real embedding of a complex matrix:
+    ``A = Ar + jAi  ->  [[Ar, -Ai], [Ai, Ar]]`` (batched)."""
+    top = jnp.concatenate([a.re, -a.im], axis=-1)
+    bot = jnp.concatenate([a.im, a.re], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def solve(a: CArray, b: CArray) -> CArray:
+    """Solve ``A x = b`` for complex A, b via the real embedding.
+
+    Batched over leading dims. ``b`` may be a matrix (..., n, k) or a
+    vector (..., n).
+    """
+    a = _coerce(a)
+    b = _coerce(b)
+    vec = b.ndim == a.ndim - 1
+    if vec:
+        b = CArray(b.re[..., None], b.im[..., None])
+    rhs = jnp.concatenate([b.re, b.im], axis=-2)
+    sol = jnp.linalg.solve(_embed(a), rhs)
+    n = a.shape[-1]
+    x = CArray(sol[..., :n, :], sol[..., n:, :])
+    if vec:
+        x = CArray(x.re[..., 0], x.im[..., 0])
+    return x
+
+
+def inv(a: CArray) -> CArray:
+    """Complex matrix inverse via the real embedding."""
+    a = _coerce(a)
+    n = a.shape[-1]
+    m = jnp.linalg.inv(_embed(a))
+    return CArray(m[..., :n, :n], m[..., n:, :n])
+
+
+def pinv(a: CArray, rcond: float = 1e-6) -> CArray:
+    """Moore-Penrose pseudo-inverse via the complex SVD."""
+    u, s, vh = svd(a, full_matrices=False)
+    cutoff = rcond * jnp.max(s, axis=-1, keepdims=True)
+    s_inv = jnp.where(s > cutoff, 1.0 / jnp.maximum(s, 1e-30), 0.0)
+    # pinv = V s^-1 U^H
+    v = vh.mH
+    return matmul(CArray(v.re * s_inv[..., None, :],
+                         v.im * s_inv[..., None, :]), u.mH)
+
+
+def eigh(a: CArray, *, tie_break: bool = True):
+    """Eigendecomposition of a (batched) Hermitian complex matrix.
+
+    Uses ``eigh`` of the symmetric real embedding; each complex eigenvalue
+    appears twice with real eigenvectors spanning ``{v, jv}``. We take one
+    representative of each pair (every other ascending eigenvalue) and read
+    the complex eigenvector off its top/bottom halves.
+
+    Degenerate eigenvalues of ``A`` itself would make that selection
+    ambiguous (for ``A = I`` the picks can be ``v`` and ``jv`` — the same
+    complex direction). Since ANY orthonormal basis of a degenerate
+    eigenspace is a valid answer, we break ties with a tiny graded real
+    diagonal perturbation that makes the complex spectrum simple; the
+    selected basis is then well-defined. The returned eigenvalues are
+    recomputed from the unperturbed matrix via the Rayleigh quotient.
+
+    Returns ``(w, V)`` with eigenvalues ascending, like ``jnp.linalg.eigh``.
+    """
+    a = _coerce(a)
+    n = a.shape[-1]
+    work = a
+    if tie_break and n > 1:
+        scale = jnp.mean(jnp.abs(_diagonal(a.re)), axis=-1,
+                         keepdims=True) + 1e-6
+        grade = jnp.arange(n, dtype=a.re.dtype) * (1e-4 / n)
+        work = CArray(a.re + _diag_embed(scale * grade), a.im)
+    _, v2 = jnp.linalg.eigh(_embed(work))
+    vr = v2[..., :n, ::2]
+    vi = v2[..., n:, ::2]
+    v = CArray(vr, vi)
+    nrm = jnp.sqrt(jnp.sum(v.abs2(), axis=-2, keepdims=True))
+    v = CArray(v.re / nrm, v.im / nrm)
+    # Rayleigh quotient w_k = v_k^H A v_k on the ORIGINAL matrix.
+    av = matmul(a, v)
+    w = jnp.sum(v.re * av.re + v.im * av.im, axis=-2)
+    # eigh of the perturbed embedding is ascending, but the Rayleigh
+    # quotients on the original A may be infinitesimally out of order;
+    # re-sorting keeps the ascending contract exactly.
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    v = CArray(jnp.take_along_axis(v.re, order[..., None, :], axis=-1),
+               jnp.take_along_axis(v.im, order[..., None, :], axis=-1))
+    return w, v
+
+
+def _diagonal(m: jnp.ndarray) -> jnp.ndarray:
+    return jnp.diagonal(m, axis1=-2, axis2=-1)
+
+
+def _diag_embed(d: jnp.ndarray) -> jnp.ndarray:
+    return d[..., None, :] * jnp.eye(d.shape[-1], dtype=d.dtype)
+
+
+def cholesky(a: CArray) -> CArray:
+    """Complex Cholesky factor (lower) of a Hermitian PSD matrix.
+
+    Column-by-column Cholesky-Crout with the column loop unrolled at trace
+    time (n is static and small in this framework's workloads). Batched
+    over leading dims.
+    """
+    a = _coerce(a)
+    n = a.shape[-1]
+    cols = []
+    for j in range(n):
+        # residual column j: A[:, j] - sum_{k<j} L[:, k] conj(L[j, k])
+        col = a[..., :, j]
+        for k in range(j):
+            lk = cols[k]                       # (..., n)
+            cr = lk.re[..., j][..., None]      # conj(L[j, k]) broadcast
+            ci = -lk.im[..., j][..., None]
+            col = col - CArray(lk.re * cr - lk.im * ci,
+                               lk.re * ci + lk.im * cr)
+        djj = jnp.sqrt(jnp.clip(col.re[..., j], 1e-30))
+        mask = (jnp.arange(n) >= j).astype(a.re.dtype)
+        col = CArray(col.re * mask / djj[..., None],
+                     col.im * mask / djj[..., None])
+        # exact real diagonal
+        col = CArray(col.re.at[..., j].set(djj), col.im.at[..., j].set(0.0))
+        cols.append(col)
+    return stack(cols, axis=-1)
+
+
+def svd(a: CArray, full_matrices: bool = False):
+    """Complex SVD via eigh of ``A^H A`` (Gram route, batched).
+
+    Returns ``(U, s, V^H)`` with singular values DESCENDING like
+    ``jnp.linalg.svd``. The Gram route squares the condition number —
+    fine for the simulation workloads here (small well-conditioned channel
+    matrices); it avoids doubled-singular-value bookkeeping of the real
+    embedding SVD.
+
+    For m < n matrices the Gram matrix of the adjoint is used.
+    ``full_matrices=True`` is only supported for square inputs.
+    """
+    a = _coerce(a)
+    m, n = a.shape[-2], a.shape[-1]
+    if full_matrices and m != n:
+        raise NotImplementedError(
+            "cplx.svd(full_matrices=True) requires square input; "
+            "use the real-embedding route if you need full bases")
+    if m >= n:
+        g = matmul(a.mH, a)                      # (n, n) Hermitian PSD
+        w, v = eigh(g)                           # ascending
+        w = w[..., ::-1]
+        v = v[..., ::-1]
+        s = jnp.sqrt(jnp.clip(w, 0.0))
+        u = matmul(a, v)                         # A v_k = s_k u_k
+        s_safe = jnp.maximum(s, 1e-30)
+        u = CArray(u.re / s_safe[..., None, :], u.im / s_safe[..., None, :])
+        return u, s, v.mH
+    g = matmul(a, a.mH)                          # (m, m)
+    w, u = eigh(g)
+    w = w[..., ::-1]
+    u = u[..., ::-1]
+    s = jnp.sqrt(jnp.clip(w, 0.0))
+    v = matmul(a.mH, u)                          # A^H u_k = s_k v_k
+    s_safe = jnp.maximum(s, 1e-30)
+    v = CArray(v.re / s_safe[..., None, :], v.im / s_safe[..., None, :])
+    return u, s, v.mH
+
+
+def qr(a: CArray):
+    """Complex (thin) QR via Cholesky of the Gram matrix.
+
+    ``R = chol(A^H A)^H`` (upper triangular), ``Q = A R^{-1}`` — valid for
+    full-column-rank A, batched, and entirely real-arithmetic underneath.
+    """
+    a = _coerce(a)
+    r = cholesky(matmul(a.mH, a)).mH             # upper triangular
+    q = solve(r.mT, a.mT).mT                     # Q = A R^-1
+    return q, r
+
+
+# ---------------------------------------------------------------------------
+# Elementwise helpers
+# ---------------------------------------------------------------------------
+
+
+def where(cond: jnp.ndarray, a, b) -> CArray:
+    a = _coerce(a)
+    b = _coerce(b)
+    return CArray(jnp.where(cond, a.re, b.re), jnp.where(cond, a.im, b.im))
+
+
+def sum(x: CArray, axis=None, keepdims=False) -> CArray:  # noqa: A001
+    return x.sum(axis=axis, keepdims=keepdims)
+
+
+def mean(x: CArray, axis=None, keepdims=False) -> CArray:
+    return x.mean(axis=axis, keepdims=keepdims)
+
+
+def stack(xs: Sequence[CArray], axis=0) -> CArray:
+    return CArray(jnp.stack([x.re for x in xs], axis=axis),
+                  jnp.stack([x.im for x in xs], axis=axis))
+
+
+def concatenate(xs: Sequence[CArray], axis=0) -> CArray:
+    return CArray(jnp.concatenate([x.re for x in xs], axis=axis),
+                  jnp.concatenate([x.im for x in xs], axis=axis))
+
+
+# ---------------------------------------------------------------------------
+
+
+def _is_real(x) -> bool:
+    if isinstance(x, CArray):
+        return False
+    if isinstance(x, complex):
+        return False
+    if isinstance(x, (np.ndarray, np.generic)) and np.iscomplexobj(x):
+        return False
+    return True
+
+
+def _coerce(x) -> CArray:
+    if isinstance(x, CArray):
+        return x
+    if isinstance(x, complex):
+        return CArray(jnp.asarray(x.real, jnp.float32),
+                      jnp.asarray(x.imag, jnp.float32))
+    if isinstance(x, (np.ndarray, np.generic)) and np.iscomplexobj(x):
+        return CArray(jnp.asarray(x.real, jnp.float32),
+                      jnp.asarray(x.imag, jnp.float32))
+    x = jnp.asarray(x)
+    return CArray(x, jnp.zeros_like(x))

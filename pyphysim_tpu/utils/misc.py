@@ -1,0 +1,513 @@
+"""Core numeric utilities (layer L0).
+
+TPU-native counterpart of the reference's ``pyphysim/util/misc.py``. The
+hot-path pieces (complex normal RNG, popcount bit-error counting, Q function)
+are pure JAX and jit/vmap-friendly; host-side helpers (GMD, range
+representations, pretty-printing) operate on numpy.
+
+Reference parity map (behavior, not code):
+  * randn_c            -> misc.py:327-389 (circular complex normal)
+  * count_bit_errors   -> misc.py:519-566 (popcount of xor; numba ufunc in the
+                          reference at misc.py:449-476, here
+                          ``lax.population_count`` — XLA-native on TPU — with a
+                          C popcount extension fallback for host-only builds)
+  * qfunc              -> misc.py:569-592
+  * gmd                -> misc.py:18-159 (geometric mean decomposition)
+  * peig/leig          -> misc.py:162-255
+  * level2bits/int2bits-> misc.py:392-446
+  * least_right_singular_vectors -> misc.py:595-663
+  * calc_(unorm_)autocorr        -> misc.py:698-754
+  * update_inv_sum_diag          -> misc.py:758-804 (Sherman-Morrison)
+  * calc_confidence_interval     -> misc.py:807-867
+  * get_principal_component_matrix -> misc.py:870-908
+  * get_range_representation / get_mixed_range_representation /
+    replace_dict_values          -> misc.py:911-1115
+  * calc_decorrelation_matrix / calc_whitening_matrix -> misc.py:1139-1201
+  * calc_shannon_sum_capacity    -> misc.py:1204-1230
+  * pretty_time                  -> misc.py:258-294
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = [
+    "randn_c",
+    "randn_c_RS",
+    "count_bits",
+    "count_bit_errors",
+    "qfunc",
+    "qfunc_inv",
+    "level2bits",
+    "int2bits",
+    "xor",
+    "gmd",
+    "peig",
+    "leig",
+    "least_right_singular_vectors",
+    "calc_unorm_autocorr",
+    "calc_autocorr",
+    "update_inv_sum_diag",
+    "calc_confidence_interval",
+    "get_principal_component_matrix",
+    "calc_decorrelation_matrix",
+    "calc_whitening_matrix",
+    "calc_shannon_sum_capacity",
+    "pretty_time",
+    "get_range_representation",
+    "get_mixed_range_representation",
+    "replace_dict_values",
+    "equal_dicts",
+]
+
+# ---------------------------------------------------------------------------
+# Complex RNG
+# ---------------------------------------------------------------------------
+
+
+def randn_c(key: jax.Array, *shape: int, dtype=jnp.float32):
+    """Circularly-symmetric complex normal samples, CN(0, 1), as a
+    :class:`~pyphysim_tpu.ops.cplx.CArray` (real-pair representation —
+    the TPU backend has no complex dtypes).
+
+    JAX-native replacement for the reference ``randn_c`` (misc.py:327-357):
+    instead of global numpy state the caller threads an explicit PRNG key
+    (split keys for independent streams). Real and imaginary parts are
+    iid N(0, 1/2) so ``E|x|^2 = 1``.
+    """
+    from ..ops.cplx import CArray
+    both = jax.random.normal(key, (2,) + tuple(shape), dtype=dtype)
+    scale = np.float32(np.sqrt(0.5))
+    return CArray(both[0] * scale, both[1] * scale)
+
+
+def randn_c_RS(rs: np.random.RandomState, *shape: int) -> np.ndarray:
+    """Host-side circular complex normal from a numpy RandomState
+    (parity with misc.py:358-389; used by host-only tests/tools)."""
+    return (np.sqrt(0.5) *
+            (rs.randn(*shape) + 1j * rs.randn(*shape))).astype(np.complex64)
+
+
+# ---------------------------------------------------------------------------
+# Bit twiddling / error counting
+# ---------------------------------------------------------------------------
+
+
+def xor(a, b):
+    """Elementwise xor (parity with misc.py:297-324)."""
+    return a ^ b
+
+
+def count_bits(n):
+    """Popcount of non-negative integer(s).
+
+    On-device this lowers to the TPU-native ``lax.population_count`` —
+    the reference needed a numba ufunc for the same hot path
+    (misc.py:449-476). Accepts python ints, numpy arrays or jnp arrays.
+    """
+    if isinstance(n, (int, np.integer)):
+        return int(bin(int(n)).count("1"))
+    if isinstance(n, np.ndarray):
+        try:
+            from . import _bitops  # C extension fallback (optional)
+            return _bitops.popcount(n)
+        except Exception:
+            v = n.astype(np.uint64)
+            out = np.zeros(n.shape, dtype=np.int64)
+            while v.any():
+                out += (v & 1).astype(np.int64)
+                v >>= 1
+            return out
+    return lax.population_count(n.astype(jnp.int32))
+
+
+def count_bit_errors(first, second, axis=None):
+    """Number of differing bits between integer arrays (misc.py:519-566).
+
+    ``sum(popcount(first ^ second))`` — the core BER counter. Pure JAX when
+    given jnp arrays; numpy path otherwise.
+    """
+    diff = first ^ second
+    bits = count_bits(diff)
+    if isinstance(bits, (int, np.integer, np.ndarray)):
+        return np.sum(bits, axis=axis)
+    return jnp.sum(bits, axis=axis)
+
+
+def level2bits(n: int) -> int:
+    """Bits needed to represent ``n`` symbols / levels (misc.py:392-416):
+    e.g. level2bits(4) == 2, level2bits(16) == 4."""
+    if n < 1:
+        raise ValueError("level2bits: n must be a positive integer")
+    return int2bits(n - 1)
+
+
+def int2bits(n: int) -> int:
+    """Bits needed to represent the integer ``n`` itself (misc.py:417-446):
+    int2bits(0) == 1, int2bits(1) == 1, int2bits(2) == 2."""
+    if n < 0:
+        raise ValueError("int2bits: n must be a non-negative integer")
+    if n == 0:
+        return 1
+    return int(n).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Q function & confidence intervals
+# ---------------------------------------------------------------------------
+
+
+def qfunc(x):
+    """Gaussian tail probability Q(x) = 0.5 erfc(x / sqrt(2))
+    (misc.py:569-592). Works on host floats and traced jnp arrays."""
+    if isinstance(x, (int, float, np.ndarray, np.generic)):
+        import scipy.special
+        return 0.5 * scipy.special.erfc(np.asarray(x) / np.sqrt(2.0))
+    return 0.5 * jax.scipy.special.erfc(x / np.sqrt(2.0))
+
+
+def qfunc_inv(p):
+    """Inverse Q function (host-side; used for theoretical curve tooling)."""
+    import scipy.special
+    return np.sqrt(2.0) * scipy.special.erfcinv(2.0 * np.asarray(p))
+
+
+def calc_confidence_interval(mean: float,
+                             std: float,
+                             n: int,
+                             P: float = 95.0) -> Tuple[float, float]:
+    """Normal-approximation confidence interval for a Monte Carlo mean
+    (misc.py:807-867). ``std`` is the *sample* standard deviation; any
+    coverage probability ``P`` in (0, 100) is supported (the reference
+    tabulated a few common values)."""
+    import scipy.stats
+    if not 0.0 < P < 100.0:
+        raise ValueError("calc_confidence_interval: P must be in (0, 100)")
+    z = scipy.stats.norm.ppf(0.5 + P / 200.0)
+    norm = z * std / np.sqrt(n)
+    return mean - norm, mean + norm
+
+
+# ---------------------------------------------------------------------------
+# Linear algebra
+# ---------------------------------------------------------------------------
+
+
+def gmd(U: np.ndarray,
+        S: np.ndarray,
+        V_H: np.ndarray,
+        tol: float = 0.0) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Geometric Mean Decomposition (misc.py:18-159).
+
+    Given an SVD ``A = U @ diag(S) @ V_H``, return ``(Q, R, P)`` with
+    ``A = Q @ R @ P.conj().T``, ``Q``/``P`` having orthonormal columns and
+    ``R`` upper triangular with all diagonal entries equal to the geometric
+    mean of the significant singular values.
+
+    Algorithm of Jiang/Hager/Li 2005: repeatedly pick a diagonal pair
+    straddling the geometric mean, and apply a right Givens rotation (to mix
+    the pair) followed by a left Givens rotation (to re-triangularize),
+    which pins ``R[k, k]`` to the geometric mean.
+
+    Host-side numpy (precoders are computed once per channel realization);
+    the MIMO layer batches over realizations via ``np.vectorize`` semantics
+    or a vmapped jax variant where profitable.
+    """
+    S = np.asarray(S, dtype=float)
+    keep = S > tol * S[0] if tol > 0 else slice(None)
+    S = S[keep]
+    K = S.shape[0]
+    Q = np.array(U[:, :K] if U.shape[1] >= K else U, dtype=complex)
+    P = np.array(V_H.conj().T[:, :K], dtype=complex)
+    R = np.diag(S).astype(complex)
+
+    sigma_bar = float(np.exp(np.mean(np.log(S))))
+
+    d = S.copy()
+    for k in range(K - 1):
+        # Bring a (>= sigma_bar, <= sigma_bar) pair into positions (k, k+1).
+        rest = d[k:]
+        if d[k] >= sigma_bar:
+            # find partner <= sigma_bar
+            cand = np.nonzero(rest <= sigma_bar)[0]
+            j = k + (int(cand[0]) if cand.size else int(np.argmin(rest)))
+        else:
+            cand = np.nonzero(rest >= sigma_bar)[0]
+            j = k + (int(cand[0]) if cand.size else int(np.argmax(rest)))
+        if j != k + 1:
+            _swap(R, Q, P, d, k + 1, j)
+
+        d1, d2 = d[k], d[k + 1]
+        if abs(d1 - d2) < 1e-12 * max(abs(d1), 1.0):
+            c, s = 1.0, 0.0
+        else:
+            c2 = (sigma_bar**2 - d2**2) / (d1**2 - d2**2)
+            c2 = min(max(c2, 0.0), 1.0)
+            c = np.sqrt(c2)
+            s = np.sqrt(1.0 - c2)
+        # Right rotation on columns (k, k+1) of R and P.
+        G1 = np.array([[c, -s], [s, c]])
+        R[:, [k, k + 1]] = R[:, [k, k + 1]] @ G1
+        P[:, [k, k + 1]] = P[:, [k, k + 1]] @ G1
+        # Left rotation zeroing R[k+1, k]; first column of the 2x2 block has
+        # norm sigma_bar by construction of c.
+        a, b = R[k, k], R[k + 1, k]
+        nrm = np.hypot(abs(a), abs(b))
+        cl = (a / nrm).conj() if nrm > 0 else 1.0
+        sl = (b / nrm).conj() if nrm > 0 else 0.0
+        G2 = np.array([[cl, sl], [-np.conj(sl), np.conj(cl)]])
+        R[[k, k + 1], :] = G2 @ R[[k, k + 1], :]
+        Q[:, [k, k + 1]] = Q[:, [k, k + 1]] @ G2.conj().T
+        R[k + 1, k] = 0.0
+        d[k] = np.real(R[k, k])
+        d[k + 1] = np.real(R[k + 1, k + 1])
+
+    return Q, R, P
+
+
+def _swap(R, Q, P, d, i, j):
+    R[:, [i, j]] = R[:, [j, i]]
+    R[[i, j], :] = R[[j, i], :]
+    Q[:, [i, j]] = Q[:, [j, i]]
+    P[:, [i, j]] = P[:, [j, i]]
+    d[[i, j]] = d[[j, i]]
+
+
+def peig(A: np.ndarray, n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """``n`` eigenvectors of largest-|eigenvalue| (misc.py:162-209).
+
+    Host-side general (non-Hermitian capable) version. For batched Hermitian
+    matrices inside jit use :func:`peig_h`.
+    """
+    V, D = _sorted_eig(A)
+    return V[:, :n], D[:n]
+
+
+def leig(A: np.ndarray, n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """``n`` eigenvectors of smallest-|eigenvalue| (misc.py:210-255)."""
+    V, D = _sorted_eig(A)
+    return V[:, -n:], D[-n:]
+
+
+def _sorted_eig(A: np.ndarray):
+    D, V = np.linalg.eig(np.asarray(A))
+    order = np.argsort(np.abs(D))[::-1]
+    return V[:, order], D[order]
+
+
+def peig_h(A: jnp.ndarray, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dominant-``n`` eigenvectors of a (batched) Hermitian matrix — the
+    jit-friendly covariance-matrix variant used by the IA solvers. Returns
+    eigenvectors sorted by descending eigenvalue."""
+    w, v = jnp.linalg.eigh(A)  # ascending
+    return v[..., ::-1][..., :n], w[..., ::-1][..., :n]
+
+
+def leig_h(A: jnp.ndarray, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Least-``n`` eigenvectors of a (batched) Hermitian matrix."""
+    w, v = jnp.linalg.eigh(A)
+    return v[..., :n], w[..., :n]
+
+
+def least_right_singular_vectors(
+        A, n: int):
+    """Split the right singular vectors of ``A`` by singular value
+    (misc.py:595-663): returns ``(V0, V1, S)`` where ``V1`` holds the ``n``
+    *least* right singular vectors, ``V0`` the remaining ones, and ``S`` the
+    singular values associated with ``V0``. Works on numpy and jnp arrays
+    (batched: leading dims broadcast)."""
+    xp = jnp if isinstance(A, jnp.ndarray) else np
+    _, s, vh = xp.linalg.svd(A, full_matrices=True)
+    V = xp.conj(xp.swapaxes(vh, -1, -2))
+    # numpy/jnp svd returns singular values descending: least are the last n.
+    V0 = V[..., :-n] if n > 0 else V
+    V1 = V[..., V.shape[-1] - n:]
+    S0 = s[..., :max(V.shape[-1] - n, 0)]
+    return V0, V1, S0
+
+
+def calc_unorm_autocorr(x: np.ndarray) -> np.ndarray:
+    """Unnormalized autocorrelation (misc.py:698-726): lags 0..N-1."""
+    x = np.asarray(x)
+    N = x.shape[0]
+    full = np.correlate(x, x, mode="full")
+    return full[N - 1:]
+
+
+def calc_autocorr(x: np.ndarray) -> np.ndarray:
+    """Autocorrelation of mean-removed, variance-normalized ``x``
+    (misc.py:727-754)."""
+    x = np.asarray(x, dtype=float)
+    xc = x - x.mean()
+    var = x.var()  # biased variance
+    N = x.shape[0]
+    if var == 0:
+        return np.zeros(N)
+    return calc_unorm_autocorr(xc) / (N * var)
+
+
+def update_inv_sum_diag(invA, diagonal):
+    """Given ``inv(A)`` and a diagonal matrix ``D`` (as a vector), compute
+    ``inv(A + D)`` via repeated rank-1 Sherman-Morrison updates
+    (misc.py:758-804). Works on numpy and jnp arrays."""
+    xp = jnp if isinstance(invA, jnp.ndarray) or isinstance(
+        diagonal, jnp.ndarray) else np
+    inv = invA
+    diagonal = xp.asarray(diagonal)
+    n = invA.shape[-1]
+    for p in range(n):
+        d = diagonal[..., p]
+        col = inv[..., :, p]
+        row = inv[..., p, :]
+        denom = 1.0 + d * inv[..., p, p]
+        inv = inv - (d / denom)[..., None, None] * (
+            col[..., :, None] * row[..., None, :])
+    return inv
+
+
+def get_principal_component_matrix(A, num_components: int):
+    """Reconstruction of ``A`` keeping its first ``num_components`` principal
+    components (misc.py:870-908). Batched-capable."""
+    xp = jnp if isinstance(A, jnp.ndarray) else np
+    u, s, vh = xp.linalg.svd(A, full_matrices=False)
+    u = u[..., :num_components]
+    s = s[..., :num_components]
+    vh = vh[..., :num_components, :]
+    return (u * s[..., None, :]) @ vh
+
+
+def calc_decorrelation_matrix(cov_matrix):
+    """Matrix ``W`` with ``W^H R W`` diagonal (misc.py:1139-1166):
+    the eigenvector matrix of the Hermitian covariance ``R``."""
+    xp = jnp if isinstance(cov_matrix, jnp.ndarray) else np
+    _, v = xp.linalg.eigh(cov_matrix)
+    return v
+
+
+def calc_whitening_matrix(cov_matrix):
+    """Whitening matrix ``W`` with ``W^H R W = I`` (misc.py:1167-1201):
+    ``W = V Lambda^{-1/2}`` from the eigendecomposition of ``R``."""
+    xp = jnp if isinstance(cov_matrix, jnp.ndarray) else np
+    w, v = xp.linalg.eigh(cov_matrix)
+    return v * (w[..., None, :]**-0.5)
+
+
+def calc_shannon_sum_capacity(sinrs):
+    """Sum of ``log2(1 + sinr)`` over all streams (misc.py:1204-1230)."""
+    xp = jnp if isinstance(sinrs, jnp.ndarray) else np
+    return xp.sum(xp.log2(1.0 + xp.asarray(sinrs)))
+
+
+# ---------------------------------------------------------------------------
+# Host-side formatting helpers
+# ---------------------------------------------------------------------------
+
+
+def pretty_time(time_in_seconds: float) -> str:
+    """Human-readable elapsed time, e.g. ``'3m:15s'`` (misc.py:258-294)."""
+    seconds = float(time_in_seconds)
+    minutes = int(seconds // 60)
+    seconds_int = int(round(seconds % 60))
+    hours = minutes // 60
+    minutes %= 60
+    if hours > 0:
+        return f"{hours}h:{minutes:02d}m:{seconds_int:02d}s"
+    if minutes > 0:
+        return f"{minutes}m:{seconds_int:02d}s"
+    return f"{seconds:.2f}s"
+
+
+def get_range_representation(array: np.ndarray,
+                             filename_mode: bool = False) -> Optional[str]:
+    """Compact arithmetic-progression representation of an array
+    (misc.py:911-962): ``[0, 5, 10, 15] -> '0:5:15'`` (or ``'0_(5)_15'``
+    in filename mode). Returns None if not an arithmetic progression."""
+    array = np.asarray(array)
+    if array.size == 1:
+        return _fmt_num(array.flat[0])
+    steps = np.diff(array.astype(float))
+    if not np.allclose(steps, steps[0]):
+        return None
+    step = steps[0]
+    lo, hi = array.flat[0], array.flat[-1]
+    if filename_mode:
+        return f"{_fmt_num(lo)}_({_fmt_num(step)})_{_fmt_num(hi)}"
+    return f"{_fmt_num(lo)}:{_fmt_num(step)}:{_fmt_num(hi)}"
+
+
+def get_mixed_range_representation(array: np.ndarray,
+                                   filename_mode: bool = False) -> str:
+    """Range representation allowing multiple progression segments
+    (misc.py:963-1056): ``[1,2,3,4,5,10,15,20] -> '1:1:5,10:5:20'``."""
+    array = np.asarray(array)
+    n = array.size
+    if n == 0:
+        return ""
+    flat = array.astype(float).ravel()
+    parts = []
+    i = 0
+    while i < n:
+        # Greedily extend an arithmetic run starting at i.
+        j = i + 1
+        if j < n:
+            step = flat[j] - flat[i]
+            while j + 1 < n and np.isclose(flat[j + 1] - flat[j], step):
+                j += 1
+        run_len = j - i + (1 if j < n else 0)
+        if j < n and run_len >= 3:
+            parts.append(
+                get_range_representation(flat[i:j + 1], filename_mode))
+            i = j + 1
+        else:
+            parts.append(_fmt_num(flat[i]))
+            i += 1
+    return ",".join(parts)
+
+
+def _fmt_num(x) -> str:
+    xf = float(x)
+    if xf == int(xf):
+        return str(int(xf))
+    return f"{xf:g}"
+
+
+def replace_dict_values(name: str,
+                        dictionary: Dict[str, Any],
+                        filename_mode: bool = False) -> str:
+    """Template substitution ``'results_{M}_{SNR}'`` with dict values, using
+    compact range representations for arrays (misc.py:1057-1115)."""
+    rep: Dict[str, Any] = {}
+    for k, v in dictionary.items():
+        if isinstance(v, np.ndarray):
+            r = get_range_representation(v, filename_mode)
+            if r is None:
+                r = ",".join(_fmt_num(e) for e in v.ravel())
+                if filename_mode:
+                    r = r.replace(",", "_")
+            rep[k] = f"[{r}]"
+        else:
+            rep[k] = v
+    return name.format(**rep)
+
+
+def equal_dicts(a: Dict[Any, Any],
+                b: Dict[Any, Any],
+                ignore_keys=()) -> bool:
+    """Dict equality ignoring some keys (misc.py:1120-1138); array-aware."""
+    ka = set(a.keys()) - set(ignore_keys)
+    kb = set(b.keys()) - set(ignore_keys)
+    if ka != kb:
+        return False
+    for k in ka:
+        va, vb = a[k], b[k]
+        if isinstance(va, np.ndarray) or isinstance(vb, np.ndarray):
+            if not np.array_equal(np.asarray(va), np.asarray(vb)):
+                return False
+        elif va != vb:
+            return False
+    return True

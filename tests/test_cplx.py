@@ -1,0 +1,240 @@
+"""Tests for the real-pair complex core (ops/cplx.py, ops/fft.py) — the
+foundation every other layer builds on. Checked against numpy complex
+arithmetic on CPU; identical code runs on the TPU backend (which has no
+complex dtypes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyphysim_tpu.ops import cplx
+from pyphysim_tpu.ops import fft as cfft
+from pyphysim_tpu.ops.cplx import CArray
+
+
+def rand_c(shape, seed=0):
+    rng = np.random.RandomState(seed)
+    return (rng.randn(*shape) + 1j * rng.randn(*shape)).astype(np.complex64)
+
+
+def as_c(x):
+    return cplx.from_numpy(x)
+
+
+class TestArithmetic:
+    def test_roundtrip(self):
+        x = rand_c((3, 4))
+        assert np.allclose(as_c(x).to_numpy(), x, atol=1e-6)
+
+    def test_add_sub_mul_div(self):
+        a, b = rand_c((2, 5), 1), rand_c((2, 5), 2)
+        ca, cb = as_c(a), as_c(b)
+        assert np.allclose((ca + cb).to_numpy(), a + b, atol=1e-5)
+        assert np.allclose((ca - cb).to_numpy(), a - b, atol=1e-5)
+        assert np.allclose((ca * cb).to_numpy(), a * b, atol=1e-4)
+        assert np.allclose((ca / cb).to_numpy(), a / b, atol=1e-4)
+        assert np.allclose((2.0 * ca).to_numpy(), 2 * a, atol=1e-5)
+        assert np.allclose((ca * (1 - 2j)).to_numpy(), a * (1 - 2j),
+                           atol=1e-4)
+        assert np.allclose((1.0 / ca).to_numpy(), 1 / a, atol=1e-4)
+        assert np.allclose((-ca).to_numpy(), -a, atol=1e-6)
+
+    def test_conj_abs(self):
+        a = rand_c((4,), 3)
+        ca = as_c(a)
+        assert np.allclose(ca.conj().to_numpy(), a.conj(), atol=1e-6)
+        assert np.allclose(np.asarray(ca.abs2()), np.abs(a) ** 2, atol=1e-4)
+        assert np.allclose(np.asarray(ca.abs()), np.abs(a), atol=1e-5)
+        assert np.allclose(np.asarray(ca.angle()), np.angle(a), atol=1e-5)
+
+    def test_cexp(self):
+        theta = jnp.linspace(0, 2 * np.pi, 16)
+        assert np.allclose(cplx.cexp(theta).to_numpy(),
+                           np.exp(1j * np.asarray(theta)), atol=1e-6)
+
+    def test_exp(self):
+        a = rand_c((5,), 4) * 0.3
+        assert np.allclose(cplx.exp(as_c(a)).to_numpy(), np.exp(a), atol=1e-5)
+
+    def test_where_sum_mean_stack(self):
+        a, b = rand_c((3, 4), 5), rand_c((3, 4), 6)
+        mask = np.asarray(a.real > 0)
+        w = cplx.where(jnp.asarray(mask), as_c(a), as_c(b))
+        assert np.allclose(w.to_numpy(), np.where(mask, a, b), atol=1e-6)
+        assert np.allclose(as_c(a).sum(axis=0).to_numpy(), a.sum(0),
+                           atol=1e-5)
+        assert np.allclose(as_c(a).mean().to_numpy(), a.mean(), atol=1e-6)
+        st = cplx.stack([as_c(a), as_c(b)], axis=0)
+        assert st.shape == (2, 3, 4)
+        cat = cplx.concatenate([as_c(a), as_c(b)], axis=1)
+        assert cat.shape == (3, 8)
+
+    def test_getitem_at(self):
+        a = rand_c((4, 4), 7)
+        ca = as_c(a)
+        assert np.allclose(ca[1:3, ::2].to_numpy(), a[1:3, ::2], atol=1e-6)
+        updated = ca.at_set((0, 0), 5 + 5j)
+        assert updated.to_numpy()[0, 0] == 5 + 5j
+
+    def test_pytree(self):
+        # CArray must flow through jit/vmap unchanged
+        a = as_c(rand_c((8,), 8))
+
+        @jax.jit
+        def f(x):
+            return (x * x.conj()).re
+
+        assert np.allclose(np.asarray(f(a)), np.abs(a.to_numpy()) ** 2,
+                           atol=1e-4)
+
+
+class TestMatmul:
+    def test_matmul(self):
+        a, b = rand_c((4, 6), 1), rand_c((6, 3), 2)
+        c = cplx.matmul(as_c(a), as_c(b))
+        assert np.allclose(c.to_numpy(), a @ b, atol=1e-3)
+
+    def test_matmul_batched(self):
+        a, b = rand_c((5, 4, 6), 3), rand_c((5, 6, 3), 4)
+        c = cplx.matmul(as_c(a), as_c(b))
+        assert np.allclose(c.to_numpy(), a @ b, atol=1e-3)
+
+    def test_mH_mT(self):
+        a = rand_c((3, 5), 5)
+        assert np.allclose(as_c(a).mH.to_numpy(), a.conj().T, atol=1e-6)
+        assert np.allclose(as_c(a).mT.to_numpy(), a.T, atol=1e-6)
+
+    def test_outer(self):
+        a, b = rand_c((4,), 6), rand_c((3,), 7)
+        assert np.allclose(cplx.outer(as_c(a), as_c(b)).to_numpy(),
+                           np.outer(a, b), atol=1e-4)
+
+    def test_einsum(self):
+        a, b = rand_c((2, 4, 6), 8), rand_c((2, 6, 3), 9)
+        c = cplx.einsum("bij,bjk->bik", as_c(a), as_c(b))
+        assert np.allclose(c.to_numpy(), np.einsum("bij,bjk->bik", a, b),
+                           atol=1e-3)
+
+
+class TestLinalg:
+    def test_solve(self):
+        a = rand_c((4, 4), 1) + 4 * np.eye(4)
+        b = rand_c((4, 2), 2)
+        x = cplx.solve(as_c(a), as_c(b))
+        assert np.allclose(x.to_numpy(), np.linalg.solve(a, b), atol=1e-3)
+
+    def test_solve_vector_batched(self):
+        a = rand_c((3, 4, 4), 3) + 4 * np.eye(4)
+        b = rand_c((3, 4), 4)
+        x = cplx.solve(as_c(a), as_c(b))
+        expected = np.stack([np.linalg.solve(a[i], b[i]) for i in range(3)])
+        assert np.allclose(x.to_numpy(), expected, atol=1e-3)
+
+    def test_inv(self):
+        a = rand_c((4, 4), 5) + 4 * np.eye(4)
+        assert np.allclose(cplx.inv(as_c(a)).to_numpy(), np.linalg.inv(a),
+                           atol=1e-3)
+
+    def test_eigh(self):
+        x = rand_c((4, 4), 6)
+        h = x @ x.conj().T + np.eye(4)
+        w, v = cplx.eigh(as_c(h))
+        w_np = np.linalg.eigvalsh(h)
+        assert np.allclose(np.asarray(w), w_np, atol=1e-2)
+        # eigenvector property H v = w v
+        V = v.to_numpy()
+        for k in range(4):
+            assert np.allclose(h @ V[:, k], w_np[k] * V[:, k], atol=2e-2)
+
+    def test_eigh_degenerate_identity(self):
+        # the classic failure mode of the naive embedding route
+        w, v = cplx.eigh(cplx.eye(3))
+        V = v.to_numpy()
+        assert np.allclose(np.asarray(w), 1.0, atol=1e-3)
+        # basis must be complex-orthonormal (full rank over C!)
+        assert np.allclose(V.conj().T @ V, np.eye(3), atol=1e-3)
+
+    def test_eigh_batched(self):
+        x = rand_c((5, 3, 3), 7)
+        h = x @ np.conj(np.transpose(x, (0, 2, 1))) + np.eye(3)
+        w, v = cplx.eigh(as_c(h))
+        for i in range(5):
+            assert np.allclose(np.asarray(w)[i], np.linalg.eigvalsh(h[i]),
+                               atol=1e-2)
+
+    def test_svd(self):
+        a = rand_c((6, 4), 8)
+        u, s, vh = cplx.svd(as_c(a))
+        s_np = np.linalg.svd(a, compute_uv=False)
+        assert np.allclose(np.asarray(s), s_np, atol=1e-2)
+        U, VH = u.to_numpy(), vh.to_numpy()
+        assert np.allclose(U @ np.diag(np.asarray(s)) @ VH, a, atol=3e-2)
+        assert np.allclose(U.conj().T @ U, np.eye(4), atol=1e-3)
+        assert np.allclose(VH @ VH.conj().T, np.eye(4), atol=1e-3)
+
+    def test_svd_wide(self):
+        a = rand_c((3, 5), 9)
+        u, s, vh = cplx.svd(as_c(a))
+        s_np = np.linalg.svd(a, compute_uv=False)
+        assert np.allclose(np.asarray(s), s_np, atol=1e-2)
+        assert np.allclose(
+            u.to_numpy() @ np.diag(np.asarray(s)) @ vh.to_numpy(), a,
+            atol=3e-2)
+
+    def test_cholesky(self):
+        x = rand_c((4, 4), 10)
+        h = x @ x.conj().T + 2 * np.eye(4)
+        L = cplx.cholesky(as_c(h)).to_numpy()
+        assert np.allclose(np.triu(L, 1), 0, atol=1e-6)
+        assert np.allclose(L @ L.conj().T, h, atol=1e-2)
+
+    def test_qr(self):
+        a = rand_c((6, 4), 11)
+        q, r = cplx.qr(as_c(a))
+        Q, R = q.to_numpy(), r.to_numpy()
+        assert np.allclose(Q @ R, a, atol=1e-2)
+        assert np.allclose(Q.conj().T @ Q, np.eye(4), atol=1e-3)
+        assert np.allclose(np.tril(R, -1), 0, atol=1e-5)
+
+    def test_pinv(self):
+        a = rand_c((5, 3), 12)
+        p = cplx.pinv(as_c(a)).to_numpy()
+        assert np.allclose(p, np.linalg.pinv(a), atol=1e-2)
+
+
+class TestFFT:
+    @pytest.mark.parametrize("n", [8, 64, 52, 256, 512])
+    def test_fft_matches_numpy(self, n):
+        x = rand_c((5, n), seed=n)
+        X = cfft.fft(as_c(x))
+        assert np.allclose(X.to_numpy(), np.fft.fft(x, axis=-1),
+                           atol=2e-2 * np.sqrt(n))
+
+    @pytest.mark.parametrize("n", [8, 64, 256, 512])
+    def test_ifft_matches_numpy(self, n):
+        x = rand_c((3, n), seed=n + 1)
+        X = cfft.ifft(as_c(x))
+        assert np.allclose(X.to_numpy(), np.fft.ifft(x, axis=-1), atol=1e-4)
+
+    def test_fft_roundtrip(self):
+        x = rand_c((2, 128), 13)
+        y = cfft.ifft(cfft.fft(as_c(x)))
+        assert np.allclose(y.to_numpy(), x, atol=1e-4)
+
+    def test_fft_padded(self):
+        x = rand_c((4, 52), 14)
+        X = cfft.fft(as_c(x), n=64)
+        assert np.allclose(X.to_numpy(), np.fft.fft(x, n=64, axis=-1),
+                           atol=1e-3)
+
+    def test_fft_jit(self):
+        x = as_c(rand_c((4, 64), 15))
+        f = jax.jit(lambda v: cfft.fft(v))
+        assert np.allclose(f(x).to_numpy(),
+                           np.fft.fft(x.to_numpy(), axis=-1), atol=1e-3)
+
+    def test_fftshift_indexes(self):
+        for n in (8, 9, 64):
+            assert np.array_equal(cfft.fftshift_indexes(n),
+                                  np.fft.fftshift(np.arange(n)))
