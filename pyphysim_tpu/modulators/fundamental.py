@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import cplx
+from ..ops.cplx import CArray
 from ..utils.conversion import binary2gray, dB2Linear, gray2binary
 from ..utils.misc import level2bits, qfunc
 
@@ -46,7 +48,7 @@ class Modulator:
 
     def __init__(self, constellation: Optional[np.ndarray] = None) -> None:
         self._constellation: Optional[np.ndarray] = None
-        self._constellation_jax: Optional[jnp.ndarray] = None
+        self._constellation_dev: Optional[CArray] = None
         self._M = 0
         self._K = 0
         if constellation is not None:
@@ -61,7 +63,7 @@ class Modulator:
         self._M = M
         self._K = level2bits(M)
         self._constellation = symbols
-        self._constellation_jax = jnp.asarray(symbols, dtype=jnp.complex64)
+        self._constellation_dev = cplx.from_numpy(symbols)
 
     # -- properties --------------------------------------------------------
 
@@ -81,9 +83,9 @@ class Modulator:
         return self._constellation
 
     @property
-    def symbols_device(self) -> jnp.ndarray:
-        """The on-device complex64 constellation table."""
-        return self._constellation_jax
+    def symbols_device(self) -> CArray:
+        """The on-device constellation table (real-pair CArray)."""
+        return self._constellation_dev
 
     @property
     def name(self) -> str:
@@ -94,35 +96,37 @@ class Modulator:
 
     # -- modulate / demodulate --------------------------------------------
 
-    def modulate(self, input_data) -> jnp.ndarray:
+    def modulate(self, input_data):
         """Map integer symbols in [0, M) to constellation points (gather).
 
         Works inside jit; accepts any array shape. Host numpy input gives
-        host numpy output via the float64 table.
+        host numpy complex output via the float64 table; traced input
+        gives a :class:`CArray`.
         """
-        if isinstance(input_data, np.ndarray) or isinstance(input_data, int):
+        if isinstance(input_data, (np.ndarray, int)):
             idx = np.asarray(input_data)
             if idx.size and (idx.max() >= self._M or idx.min() < 0):
                 raise ValueError(
                     f"Input data must be between 0 and {self._M - 1}")
             return self._constellation[idx]
-        return self._constellation_jax[input_data]
+        return self._constellation_dev[input_data]
 
-    def demodulate(self, received_data) -> jnp.ndarray:
+    def demodulate(self, received_data):
         """Nearest-neighbor hard decision: argmin_k |rx - c_k|.
 
         Batched over every leading dimension; the broadcast against the
-        length-M table fuses into one VPU pass under jit.
+        length-M table fuses into one VPU pass under jit. Accepts numpy
+        complex (host path) or CArray (device path).
         """
         if isinstance(received_data, np.ndarray):
             d = np.abs(received_data[..., None] -
                        self._constellation[None, :])
             return np.argmin(d, axis=-1)
         rx = received_data
-        table = self._constellation_jax
-        # |rx - c|^2 without sqrt; expand on last axis.
-        diff = rx[..., None] - table
-        metric = diff.real * diff.real + diff.imag * diff.imag
+        table = self._constellation_dev
+        dr = rx.re[..., None] - table.re
+        di = rx.im[..., None] - table.im
+        metric = dr * dr + di * di
         return jnp.argmin(metric, axis=-1).astype(jnp.int32)
 
     # -- theoretical curves ------------------------------------------------
@@ -212,7 +216,7 @@ class BPSK(Modulator):
         """Threshold on the real part (cheaper than the generic argmin)."""
         if isinstance(received_data, np.ndarray):
             return (received_data.real < 0).astype(np.int64)
-        return (received_data.real < 0).astype(jnp.int32)
+        return (received_data.re < 0).astype(jnp.int32)
 
     def calcTheoreticalSER(self, SNR):
         """``Q(sqrt(2 snr))`` exactly."""
@@ -248,8 +252,11 @@ class QAM(Modulator):
         # real part of point with index i is determined by the column bits,
         # imaginary part by the row bits.
         self._scale = math.sqrt((M - 1) * 2.0 / 3.0)
-        gray_axis = binary2gray(np.arange(L))  # position -> gray code
-        self._pos_to_gray = jnp.asarray(gray_axis, dtype=jnp.int32)
+        # Constellation index at grid position p carries gray^-1(p) in its
+        # bits (the table was built as symbols[gray(r)*L + gray(c)] at
+        # index (r<<h)|c), so slicing inverts with gray2binary.
+        self._pos_to_bits = jnp.asarray(gray2binary(np.arange(L)),
+                                        dtype=jnp.int32)
 
     @staticmethod
     def _createConstellation(M: int) -> np.ndarray:
@@ -267,7 +274,7 @@ class QAM(Modulator):
         index_matrix = (row << half_bits) + col[None, :]
         return index_matrix.reshape(L * L)
 
-    def demodulate_hard(self, received_data: jnp.ndarray) -> jnp.ndarray:
+    def demodulate_hard(self, received_data: CArray) -> jnp.ndarray:
         """O(1)-per-symbol QAM slicer (TPU fast path).
 
         Quantize I and Q independently to the nearest PAM level, then
@@ -279,13 +286,13 @@ class QAM(Modulator):
         # Position on the PAM grid: level = (-(L-1) + 2*j) / scale
         # -> j = round((x*scale + L - 1) / 2), clipped.
         col_pos = jnp.clip(jnp.round(
-            (received_data.real * self._scale + (L - 1)) / 2.0),
+            (received_data.re * self._scale + (L - 1)) / 2.0),
             0, L - 1).astype(jnp.int32)
         row_pos = jnp.clip(jnp.round(
-            ((L - 1) - received_data.imag * self._scale) / 2.0),
+            ((L - 1) - received_data.im * self._scale) / 2.0),
             0, L - 1).astype(jnp.int32)
-        col_bits = self._pos_to_gray[col_pos]
-        row_bits = self._pos_to_gray[row_pos]
+        col_bits = self._pos_to_bits[col_pos]
+        row_bits = self._pos_to_bits[row_pos]
         return (row_bits << half_bits) | col_bits
 
     def _calcTheoreticalSingleCarrierErrorRate(self, SNR):
