@@ -1,0 +1,5 @@
+"""Device-mesh parallelism: mesh construction, sharded Monte Carlo
+reduction, and multi-host initialization (TPU-native replacement of the
+reference's ipyparallel task farming)."""
+
+from .mesh import make_mesh, shard_batch  # noqa: F401

@@ -1,0 +1,47 @@
+"""Mesh helpers: the communication/parallelism backbone.
+
+TPU-native replacement for the reference's distributed backend (ipyparallel
+ZMQ task farming, SURVEY §2.11): Monte Carlo data parallelism is expressed
+as a 1-D (or 2-D host x chip) ``jax.sharding.Mesh`` over which repetition
+batches are sharded; error-counter reduction happens inside XLA via
+``psum`` (collectives ride ICI, not sockets). Multi-host initialization
+wraps ``jax.distributed.initialize``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+__all__ = ["make_mesh", "shard_batch", "init_multihost"]
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              axis_name: str = "mc") -> Mesh:
+    """A 1-D mesh over all (or the given) local devices, for sharding
+    Monte Carlo repetition batches."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(mesh: Mesh, x, axis_name: str = "mc"):
+    """Place a batch array (leading axis = repetitions) so that it is
+    sharded across the mesh."""
+    sharding = NamedSharding(mesh, PartitionSpec(axis_name))
+    return jax.device_put(x, sharding)
+
+
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Initialize multi-host jax (pod-slice execution). Safe to call when
+    already initialized."""
+    try:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
+    except RuntimeError:
+        pass  # already initialized

@@ -1,0 +1,521 @@
+"""The Monte Carlo simulation runner — the framework's engine.
+
+Behavioral counterpart of the reference
+``pyphysim/simulations/runner.py:1076-1948`` (template-method engine,
+lifecycle hooks, early stop via ``_keep_going``, ``SkipThisOne`` skip-and-
+retry accounting, partial-results checkpoint/resume, progress tracking, CLI
+integration), re-architected for TPU execution:
+
+  * **Compat path** — subclasses implement
+    ``_run_simulation(current_parameters) -> SimulationResults`` exactly
+    like the reference (runner.py:1334-1366) and get the same serial
+    per-repetition loop. Useful for porting and for host-side algorithms.
+
+  * **TPU batch path** — subclasses instead implement
+    ``_gen_simulation_kernel(current_parameters)`` returning a pure
+    function ``kernel(key) -> {name: value | (value, total)}`` and declare
+    result types in ``self.batch_result_types``. The runner vmaps the
+    kernel over a batch of split PRNG keys, jits ONCE per variation, and
+    runs ``lax``-free host chunks: each chunk produces per-repetition
+    counter arrays that feed ``Result.update_batch``. The reference's
+    per-repetition Python loop (runner.py:1491-1517) thus becomes a single
+    compiled SPMD program; early stop (``_keep_going``) and
+    checkpoint/resume keep their exact semantics at chunk granularity.
+    With a device mesh (``runner.mesh``), the key batch is sharded across
+    devices (the reference's ipyparallel data-parallelism, P2 in SURVEY
+    §2.11, replaced by XLA sharding).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .parameters import SimulationParameters
+from .results import Result, SimulationResults
+
+__all__ = ["SimulationRunner", "SkipThisOne", "get_common_parser"]
+
+
+class SkipThisOne(Exception):
+    """Raised inside ``_run_simulation`` to discard the current repetition
+    (e.g. a singular matrix was drawn); the repetition is retried and a
+    ``num_skipped_reps`` SUMTYPE result accounts for it
+    (parity: runner.py:151-185)."""
+
+    def __init__(self, msg: str = "") -> None:
+        super().__init__(msg)
+        self.msg = msg
+
+
+_common_parser: Optional[argparse.ArgumentParser] = None
+
+
+def get_common_parser() -> argparse.ArgumentParser:
+    """Singleton argparse parser with the shared simulation options
+    (parity: runner.py:44-101)."""
+    global _common_parser
+    if _common_parser is None:
+        parser = argparse.ArgumentParser(add_help=False)
+        group = parser.add_argument_group("Simulation options")
+        group.add_argument("-c", "--config", type=str, default=None,
+                           help="Config file with simulation parameters")
+        group.add_argument("-i", "--index", type=int, default=None,
+                           help="Run only the variation with this unpack "
+                                "index and save only its partial results")
+        group.add_argument("-n", "--number_variations", action="store_true",
+                           help="Print the number of unpacked variations "
+                                "and exit")
+        _common_parser = parser
+    return _common_parser
+
+
+class SimulationRunner:
+    """Monte Carlo engine: parameter sweep x repetitions -> typed results."""
+
+    def __init__(self, default_config_file: Optional[str] = None,
+                 config_spec=None, read_command_line_args: bool = True,
+                 save_parsed_file: bool = False) -> None:
+        self.rep_max = 1
+        self._elapsed_time = 0.0
+        self._runned_reps: List[int] = []
+        self.params = SimulationParameters()
+        self.results = SimulationResults()
+
+        # Progress display
+        self.progressbar_message = "Progress"
+        self.update_progress_function_style: Optional[str] = "text1"
+        self.progress_output_type = "screen"  # or 'file'
+        self.progressbar_extra_args: Dict[str, Any] = {}
+
+        # Checkpointing
+        self.partial_results_folder = "partial_results"
+        self.delete_partial_results_bool = False
+        self.__results_base_filename: Optional[str] = None
+        self.__partial_files_to_delete: List[Path] = []
+        self.__last_checkpoint_time = time.time()
+
+        # TPU batch execution
+        self.batch_size: Optional[int] = None  # auto if None
+        self.batch_result_types: Dict[str, Any] = {}
+        self.mesh = None          # optional jax.sharding.Mesh
+        self.mesh_axis = "mc"     # axis name used for key sharding
+        self.base_seed = 1234
+
+        # Command line integration (parity: runner.py:685-758)
+        self.command_line_args = argparse.Namespace(
+            config=None, index=None, number_variations=False)
+        if read_command_line_args and not self._running_under_test():
+            parser = argparse.ArgumentParser(parents=[get_common_parser()])
+            self.command_line_args, _ = parser.parse_known_args()
+
+        config_file = self.command_line_args.config or default_config_file
+        if config_file is not None and os.path.exists(config_file):
+            self.params = SimulationParameters.load_from_config_file(
+                config_file, config_spec, save_parsed_file)
+
+    @staticmethod
+    def _running_under_test() -> bool:
+        return "pytest" in sys.modules or "unittest" in sys.modules
+
+    # ------------------------------------------------------------------
+    # Template methods (subclass API)
+    # ------------------------------------------------------------------
+
+    def _run_simulation(
+            self, current_parameters: SimulationParameters
+    ) -> SimulationResults:
+        """One repetition (compat path). Subclasses the reference way
+        override this (runner.py:1334-1366)."""
+        raise NotImplementedError(
+            "Implement either _run_simulation (serial path) or "
+            "_gen_simulation_kernel (TPU batch path)")
+
+    def _gen_simulation_kernel(
+            self, current_parameters: SimulationParameters
+    ) -> Optional[Callable]:
+        """TPU batch path: return a pure function ``kernel(key)`` producing
+        ``{name: value}`` / ``{name: (value, total)}`` scalars; declare the
+        types in ``self.batch_result_types``. Return None (default) to use
+        the serial path."""
+        return None
+
+    # noinspection PyUnusedLocal
+    def _keep_going(self, current_params: SimulationParameters,
+                    current_sim_results: SimulationResults,
+                    current_rep: int) -> bool:
+        """Early-stop predicate, checked between repetitions (serial) or
+        chunks (batch). Default: never stop early."""
+        return True
+
+    def _on_simulate_start(self) -> None:
+        """Hook called once at simulation start (runner.py:1889)."""
+
+    def _on_simulate_finish(self) -> None:
+        """Hook called once at simulation end."""
+
+    def _on_simulate_current_params_start(
+            self, current_params: SimulationParameters) -> None:
+        """Hook called before each variation (re-seed RNGs here when
+        running with external schedulers)."""
+
+    def _on_simulate_current_params_finish(
+            self, current_params: SimulationParameters,
+            current_params_sim_results: SimulationResults) -> None:
+        """Hook called after each variation."""
+
+    # ------------------------------------------------------------------
+    # Properties
+    # ------------------------------------------------------------------
+
+    @property
+    def elapsed_time(self) -> str:
+        from ..utils.misc import pretty_time
+        return pretty_time(self._elapsed_time)
+
+    @property
+    def runned_reps(self) -> List[int]:
+        """Repetitions actually executed per variation."""
+        return self._runned_reps
+
+    @property
+    def results_base_filename(self) -> Optional[str]:
+        return self.__results_base_filename
+
+    def set_results_filename(self, filename: Optional[str] = None) -> None:
+        """Set the base filename for final and partial results
+        ( ``{param}`` templating supported)."""
+        self.__results_base_filename = filename
+
+    # ------------------------------------------------------------------
+    # Checkpointing (parity: runner.py:761-1069)
+    # ------------------------------------------------------------------
+
+    def _get_results_filename(self) -> Optional[str]:
+        if self.__results_base_filename is None:
+            return None
+        from ..utils.misc import replace_dict_values
+        return replace_dict_values(self.__results_base_filename,
+                                   self.params.parameters,
+                                   filename_mode=True)
+
+    def _get_partial_results_filename(
+            self, current_params: SimulationParameters) -> Optional[str]:
+        base = self._get_results_filename()
+        if base is None:
+            return None
+        name = (f"{os.path.basename(base)}_unpack_"
+                f"{current_params.unpack_index:02d}.pickle")
+        folder = self.partial_results_folder
+        if folder and not os.path.isabs(folder):
+            # keep partials next to the results file (shared-filesystem
+            # semantics of the reference, runner.py:1795-1805)
+            folder = os.path.join(os.path.dirname(base), folder)
+        return os.path.join(folder or os.path.dirname(base), name)
+
+    def _save_partial_results(self, current_rep: int,
+                              current_params: SimulationParameters,
+                              current_sim_results: SimulationResults) -> None:
+        filename = self._get_partial_results_filename(current_params)
+        if filename is None:
+            return
+        current_sim_results.set_parameters(current_params)
+        current_sim_results.current_rep = current_rep
+        folder = os.path.dirname(filename)
+        if folder:
+            os.makedirs(folder, exist_ok=True)
+        current_sim_results.save_to_file(filename)
+        self.__partial_files_to_delete.append(Path(filename).absolute())
+
+    def _save_partial_results_maybe(
+            self, current_rep: int, current_params: SimulationParameters,
+            current_sim_results: SimulationResults) -> None:
+        """Throttled checkpoint: every 500 reps or 300 s
+        (parity: runner.py:996-1017)."""
+        now = time.time()
+        if now - self.__last_checkpoint_time > 300 or \
+                current_rep % 500 == 0:
+            self._save_partial_results(current_rep, current_params,
+                                       current_sim_results)
+            self.__last_checkpoint_time = now
+
+    def _load_partial_results(
+            self, current_params: SimulationParameters
+    ) -> Optional[SimulationResults]:
+        """Load+validate a partial-results checkpoint; raises ValueError on
+        parameter mismatch (resume-reject, parity runner.py:1042-1063)."""
+        filename = self._get_partial_results_filename(current_params)
+        if filename is None or not os.path.exists(filename):
+            return None
+        partial = SimulationResults.load_from_file(filename)
+        if not current_params == partial.params:
+            raise ValueError(
+                "Partial results loaded from file do not match current "
+                f"parameters.\nfile: '{filename}'\nDelete that file first "
+                "to simulate with a new configuration.")
+        return partial
+
+    def __delete_partial_results_maybe(self) -> None:
+        if self.delete_partial_results_bool:
+            for f in self.__partial_files_to_delete:
+                try:
+                    f.unlink()
+                except OSError:
+                    pass
+            self.__partial_files_to_delete.clear()
+
+    # ------------------------------------------------------------------
+    # Progress helpers
+    # ------------------------------------------------------------------
+
+    def _get_progress_bar(self, variation_index: int, num_variations: int,
+                          rep_max: int):
+        from ..progressbar import (DummyProgressbar, ProgressbarText,
+                                   ProgressbarText2, ProgressbarText3)
+        styles = {"text1": ProgressbarText, "text2": ProgressbarText2,
+                  "text3": ProgressbarText3}
+        if self.update_progress_function_style not in styles:
+            return DummyProgressbar()
+        message = self.progressbar_message.format(**{
+            k: v for k, v in self.params.parameters.items()
+            if not isinstance(v, (list, np.ndarray))})
+        output = None
+        if self.progress_output_type == "file":
+            base = self._get_results_filename() or "simulation"
+            output = open(
+                f"{base}_progress_{variation_index + 1}_of_"
+                f"{num_variations}.txt", "w")
+        return styles[self.update_progress_function_style](
+            rep_max, message=message, output=output,
+            **self.progressbar_extra_args)
+
+    # ------------------------------------------------------------------
+    # Main entry points
+    # ------------------------------------------------------------------
+
+    def simulate(self,
+                 param_variation_index: Optional[int] = None) -> None:
+        """Run the full simulation (all variations), or exactly one
+        variation when ``param_variation_index`` (or the ``-i`` CLI arg)
+        is given — the cluster job-splitting mode that only writes that
+        variation's partial results file (parity: runner.py:1636-1668)."""
+        if self.command_line_args.number_variations:
+            print(self.params.get_num_unpacked_variations())
+            return
+        if param_variation_index is None:
+            param_variation_index = self.command_line_args.index
+
+        tic = time.time()
+        self.__partial_files_to_delete.clear()
+        self.params.add("rep_max", self.rep_max)
+        self.results = SimulationResults()
+        self.results.set_parameters(self.params)
+        self._runned_reps = []
+        self._on_simulate_start()
+
+        unpacked = self.params.get_unpacked_params_list()
+        if param_variation_index is not None:
+            if not 0 <= param_variation_index < len(unpacked):
+                raise ValueError(
+                    f"Invalid variation index: {param_variation_index}")
+            unpacked = [unpacked[param_variation_index]]
+
+        for i, current_params in enumerate(unpacked):
+            if self.update_progress_function_style is not None and \
+                    self.progress_output_type == "screen" and \
+                    len(unpacked) > 1:
+                print(f"Current Variation: {i + 1}/{len(unpacked)}")
+            current_results, reps = self._simulate_for_current_params(
+                current_params, i, len(unpacked))
+            self._runned_reps.append(reps)
+            if param_variation_index is None:
+                self.results.append_all_results(current_results)
+
+        self._elapsed_time = time.time() - tic
+        self._on_simulate_finish()
+
+        if param_variation_index is None:
+            filename = self._get_results_filename()
+            if filename is not None:
+                self.results.save_to_file(filename)
+            self.__delete_partial_results_maybe()
+
+    # alias matching the reference's "serial" nomenclature
+    simulate_serially = simulate
+
+    def simulate_in_parallel(self, mesh=None) -> None:
+        """Run the sweep with repetitions sharded over a device mesh.
+
+        TPU-native replacement for the reference's ipyparallel dispatch
+        (runner.py:1774-1886): instead of pickling the runner to worker
+        processes, the SAME jitted kernel runs SPMD with its key batch
+        sharded across devices; XLA inserts the collectives.
+        """
+        if mesh is None:
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh()
+        self.mesh = mesh
+        try:
+            self.simulate()
+        finally:
+            self.mesh = None
+
+    # ------------------------------------------------------------------
+    # Per-variation execution
+    # ------------------------------------------------------------------
+
+    def _simulate_for_current_params(
+            self, current_params: SimulationParameters,
+            variation_index: int,
+            num_variations: int) -> Tuple[SimulationResults, int]:
+        self._on_simulate_current_params_start(current_params)
+
+        partial = self._load_partial_results(current_params)
+        if partial is not None:
+            current_results = partial
+            current_rep = partial.current_rep
+        else:
+            current_results = SimulationResults()
+            current_rep = 0
+
+        pbar = self._get_progress_bar(variation_index, num_variations,
+                                      self.rep_max)
+
+        kernel = self._gen_simulation_kernel(current_params)
+        tic = time.time()
+        if kernel is not None:
+            current_rep = self._batch_loop(kernel, current_params,
+                                           current_results, current_rep,
+                                           pbar)
+        else:
+            current_rep = self._serial_loop(current_params, current_results,
+                                            current_rep, pbar)
+        pbar.progress(self.rep_max)
+
+        self._on_simulate_current_params_finish(current_params,
+                                                current_results)
+        if current_rep > 0:
+            self._save_partial_results(current_rep, current_params,
+                                       current_results)
+        elapsed = time.time() - tic
+        return current_results, current_rep
+
+    # -- serial (compat) path ---------------------------------------------
+
+    def _serial_loop(self, current_params, current_results, current_rep,
+                     pbar) -> int:
+        num_skipped = 0
+        while current_rep < self.rep_max and self._keep_going(
+                current_params, current_results, current_rep):
+            tic = time.time()
+            try:
+                rep_results = self._run_simulation(current_params)
+            except SkipThisOne:
+                num_skipped += 1
+                continue
+            elapsed = time.time() - tic
+            rep_results.add_result(
+                Result.create("elapsed_time", Result.SUMTYPE, elapsed))
+            current_results.merge_all_results(rep_results)
+            current_rep += 1
+            pbar.progress(current_rep)
+            self._save_partial_results_maybe(current_rep, current_params,
+                                             current_results)
+        self._merge_skip_count(current_results, num_skipped)
+        return current_rep
+
+    @staticmethod
+    def _merge_skip_count(current_results, num_skipped: int) -> None:
+        skip = Result.create("num_skipped_reps", Result.SUMTYPE, num_skipped)
+        if "num_skipped_reps" in current_results:
+            current_results["num_skipped_reps"][-1].merge(skip)
+        else:
+            current_results.add_result(skip)
+
+    # -- TPU batch path ----------------------------------------------------
+
+    def _default_batch_size(self) -> int:
+        if self.batch_size is not None:
+            return int(self.batch_size)
+        # One compile; chunks small enough for early-stop granularity but
+        # large enough to amortize dispatch.
+        return int(min(max(self.rep_max // 8, 1), 4096))
+
+    def _batch_loop(self, kernel, current_params, current_results,
+                    current_rep, pbar) -> int:
+        import jax
+
+        if not self.batch_result_types:
+            raise RuntimeError(
+                "The TPU batch path requires self.batch_result_types to "
+                "declare the Result type of every kernel output")
+
+        bsize = self._default_batch_size()
+        batched = jax.vmap(kernel)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sharding = NamedSharding(self.mesh, P(self.mesh_axis))
+            batched = jax.jit(batched, in_shardings=(sharding,))
+        else:
+            batched = jax.jit(batched)
+
+        # Deterministic, resumable key schedule: variation key folded from
+        # the base seed and unpack index; chunk keys folded from the chunk
+        # start so a resumed run continues the same stream.
+        var_key = jax.random.fold_in(
+            jax.random.PRNGKey(self.base_seed),
+            max(current_params.unpack_index, 0))
+
+        while current_rep < self.rep_max and self._keep_going(
+                current_params, current_results, current_rep):
+            tic = time.time()
+            n = min(bsize, self.rep_max - current_rep)
+            chunk_key = jax.random.fold_in(var_key, current_rep)
+            keys = jax.random.split(chunk_key, bsize)
+            out = batched(keys)
+            out = jax.tree_util.tree_map(np.asarray, out)
+            elapsed = time.time() - tic
+
+            chunk_results = SimulationResults()
+            for name, spec in self.batch_result_types.items():
+                if name not in out:
+                    raise RuntimeError(
+                        f"Kernel did not produce declared result {name!r}")
+                type_code, choice_num = self._parse_type_spec(spec)
+                r = Result(name, type_code, choice_num=choice_num)
+                value = out[name]
+                if isinstance(value, tuple):
+                    r.update_batch(value[0][:n], value[1][:n])
+                else:
+                    r.update_batch(np.asarray(value)[:n])
+                chunk_results.add_result(r)
+            chunk_results.add_result(
+                Result.create("elapsed_time", Result.SUMTYPE, elapsed))
+            current_results.merge_all_results(chunk_results)
+
+            current_rep += n
+            pbar.progress(current_rep)
+            self._save_partial_results_maybe(current_rep, current_params,
+                                             current_results)
+        self._merge_skip_count(current_results, 0)
+        return current_rep
+
+    @staticmethod
+    def _parse_type_spec(spec) -> Tuple[int, Optional[int]]:
+        if isinstance(spec, tuple):
+            return int(spec[0]), int(spec[1])
+        return int(spec), None
+
+    # ------------------------------------------------------------------
+
+    def clear(self) -> None:
+        """Reset results/time, keeping the parameters."""
+        self._elapsed_time = 0.0
+        self._runned_reps = []
+        self.results = SimulationResults()

@@ -1,0 +1,530 @@
+"""Tests for the Monte Carlo runtime — mirrors the reference's
+tests/simulations_package_test.py strategy: dummy runners with analytically
+known results, checkpoint save/load/mismatch, resume-after-rep_max-increase
+(SURVEY.md §4 items 5-6)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyphysim_tpu.simulations import (Result, SimulationParameters,
+                                      SimulationResults, SimulationRunner,
+                                      SkipThisOne,
+                                      combine_simulation_results)
+from pyphysim_tpu.simulations.parameters import \
+    combine_simulation_parameters
+from pyphysim_tpu.simulations.configobjvalidation import (
+    ValidationError, integer_numpy_array_check, load_config,
+    real_numpy_array_check, validate_value)
+
+
+class TestResult:
+    def test_sumtype(self):
+        r = Result("name", Result.SUMTYPE)
+        r.update(13)
+        r.update(4)
+        assert r.get_result() == 17
+        assert r.num_updates == 2
+        assert r.type_name == "SUMTYPE"
+
+    def test_ratiotype(self):
+        r = Result("name2", Result.RATIOTYPE)
+        r.update(4, 10)
+        r.update(3, 4)
+        assert r.get_result() == 0.5
+        other = Result("name2", Result.RATIOTYPE)
+        other.update(3, 11)
+        other.merge(r)
+        assert other.get_result() == 0.4
+        assert other.num_updates == 3
+        assert other._value == 10
+        assert other._total == 25
+        # merging into the other direction must not have changed r
+        assert r.get_result() == 0.5
+
+    def test_ratiotype_requires_total(self):
+        r = Result("x", Result.RATIOTYPE)
+        with pytest.raises(ValueError):
+            r.update(5)
+
+    def test_misctype(self):
+        r = Result("m", Result.MISCTYPE)
+        r.update("something")
+        r.update("else")
+        assert r.get_result() == "else"
+
+    def test_choicetype(self):
+        r = Result("c", Result.CHOICETYPE, choice_num=4)
+        for v in [0, 1, 1, 3]:
+            r.update(v)
+        assert np.allclose(r.get_result(), [0.25, 0.5, 0, 0.25])
+        with pytest.raises(RuntimeError):
+            Result("c", Result.CHOICETYPE)  # missing choice_num
+
+    def test_invalid_type(self):
+        with pytest.raises(ValueError):
+            Result("bad", 17)
+
+    def test_merge_type_mismatch(self):
+        a = Result("a", Result.SUMTYPE)
+        b = Result("b", Result.SUMTYPE)
+        with pytest.raises(ValueError):
+            a.merge(b)
+
+    def test_mean_var_ci(self):
+        r = Result("s", Result.SUMTYPE)
+        vals = [1.0, 2.0, 3.0, 4.0]
+        for v in vals:
+            r.update(v)
+        assert np.isclose(r.get_result_mean(), np.mean(vals))
+        assert np.isclose(r.get_result_var(), np.var(vals))
+        lo, hi = r.get_confidence_interval(95.0)
+        assert lo < np.mean(vals) < hi
+
+    def test_update_batch_matches_loop(self):
+        a = Result("x", Result.RATIOTYPE)
+        b = Result("x", Result.RATIOTYPE)
+        vals = np.array([3, 1, 4, 1, 5])
+        tots = np.array([10, 10, 10, 10, 10])
+        for v, t in zip(vals, tots):
+            a.update(int(v), int(t))
+        b.update_batch(vals, tots)
+        assert a.get_result() == b.get_result()
+        assert np.isclose(a._result_sum, b._result_sum)
+        assert np.isclose(a._result_squared_sum, b._result_squared_sum)
+        assert a.num_updates == b.num_updates
+
+    def test_update_batch_choice(self):
+        r = Result("c", Result.CHOICETYPE, choice_num=3)
+        r.update_batch(np.array([0, 2, 2, 1]))
+        assert np.allclose(r.get_result(), [0.25, 0.25, 0.5])
+
+    def test_json_roundtrip(self):
+        r = Result.create("ber", Result.RATIOTYPE, 12, 1000)
+        r2 = Result.from_json(r.to_json())
+        assert r == r2
+        c = Result("c", Result.CHOICETYPE, choice_num=3)
+        c.update(1)
+        c2 = Result.from_json(c.to_json())
+        assert c == c2
+
+    def test_accumulate_values(self):
+        r = Result("s", Result.SUMTYPE, accumulate_values=True)
+        r.update(1)
+        r.update(2)
+        assert r.get_result_accumulated_values() == [1, 2]
+
+
+class TestSimulationParameters:
+    def test_create_and_access(self):
+        p = SimulationParameters.create({"a": 1, "b": [1, 2, 3]})
+        assert p["a"] == 1
+        assert len(p) == 2
+        assert "a" in p
+
+    def test_unpack(self):
+        p = SimulationParameters.create(
+            {"a": 1, "b": 2, "c": [3, 4], "d": [5, 6]})
+        p.set_unpack_parameter("c")
+        p.set_unpack_parameter("d")
+        lst = p.get_unpacked_params_list()
+        assert len(lst) == 4
+        assert p.get_num_unpacked_variations() == 4
+        # itertools.product order over sorted names (c outer, d inner)
+        assert [(v["c"], v["d"]) for v in lst] == \
+            [(3, 5), (3, 6), (4, 5), (4, 6)]
+        assert [v.unpack_index for v in lst] == [0, 1, 2, 3]
+
+    def test_unpack_not_iterable(self):
+        p = SimulationParameters.create({"a": 1})
+        with pytest.raises(ValueError):
+            p.set_unpack_parameter("a")
+        with pytest.raises(ValueError):
+            p.set_unpack_parameter("zzz")
+
+    def test_get_pack_indexes(self):
+        p = SimulationParameters.create(
+            {"p1": [1, 2, 3], "p2": ["a", "b"], "p3": 15})
+        p.set_unpack_parameter("p1")
+        p.set_unpack_parameter("p2")
+        idx = p.get_pack_indexes({"p1": 3, "p3": 15})
+        lst = p.get_unpacked_params_list()
+        assert len(idx) == 2
+        for i in idx:
+            assert lst[i]["p1"] == 3
+
+    def test_equality_ignores_rep_max(self):
+        p1 = SimulationParameters.create({"a": 1, "rep_max": 100})
+        p2 = SimulationParameters.create({"a": 1, "rep_max": 500})
+        assert p1 == p2
+        p3 = SimulationParameters.create({"a": 2, "rep_max": 100})
+        assert p1 != p3
+
+    def test_equality_with_arrays(self):
+        p1 = SimulationParameters.create({"snr": np.array([0, 5, 10])})
+        p2 = SimulationParameters.create({"snr": np.array([0, 5, 10])})
+        p3 = SimulationParameters.create({"snr": np.array([0, 5, 11])})
+        assert p1 == p2
+        assert p1 != p3
+
+    def test_json_roundtrip(self):
+        p = SimulationParameters.create(
+            {"a": 1, "snr": np.array([0.0, 5.0])})
+        p.set_unpack_parameter("snr")
+        p2 = SimulationParameters.from_json(p.to_json())
+        assert p == p2
+
+    def test_to_grid(self):
+        p = SimulationParameters.create({"snr": np.array([0., 5.]),
+                                         "m": np.array([2, 4, 8])})
+        p.set_unpack_parameter("snr")
+        p.set_unpack_parameter("m")
+        m, snr = p.to_grid("m", "snr")
+        assert m.shape == snr.shape == (6,)
+        lst = p.get_unpacked_params_list()
+        for i, v in enumerate(lst):
+            assert v["m"] == m[i] and v["snr"] == snr[i]
+
+    def test_combine(self):
+        p1 = SimulationParameters.create({"a": 1, "s": np.array([0, 5])})
+        p1.set_unpack_parameter("s")
+        p2 = SimulationParameters.create({"a": 1, "s": np.array([10, 5])})
+        p2.set_unpack_parameter("s")
+        u = combine_simulation_parameters(p1, p2)
+        assert np.array_equal(u["s"], [0, 5, 10])
+        p3 = SimulationParameters.create({"a": 2, "s": np.array([0])})
+        p3.set_unpack_parameter("s")
+        with pytest.raises(RuntimeError):
+            combine_simulation_parameters(p1, p3)
+
+
+class TestSimulationResults:
+    def make_results(self, snrs=(0, 5, 10), seed=0):
+        res = SimulationResults()
+        p = SimulationParameters.create({"snr": np.array(snrs), "m": 4})
+        p.set_unpack_parameter("snr")
+        res.set_parameters(p)
+        for i, _ in enumerate(snrs):
+            res.append_result(
+                Result.create("ber", Result.RATIOTYPE, 10 * (i + 1), 1000))
+        return res
+
+    def test_append_and_get(self):
+        res = self.make_results()
+        assert res.get_result_names() == ["ber"]
+        assert res.get_result_values_list("ber") == [0.01, 0.02, 0.03]
+        assert len(res["ber"]) == 3
+
+    def test_merge_all_results(self):
+        a = self.make_results()
+        b = SimulationResults()
+        b.add_result(Result.create("ber", Result.RATIOTYPE, 10, 1000))
+        a.merge_all_results(b)
+        # only last variation entry merged
+        assert a.get_result_values_list("ber") == [0.01, 0.02, 0.02]
+
+    def test_save_load_pickle_json(self, tmp_path):
+        res = self.make_results()
+        for ext in (".pickle", ".json"):
+            fn = str(tmp_path / f"r{ext}")
+            saved = res.save_to_file(fn)
+            loaded = SimulationResults.load_from_file(saved)
+            assert loaded.get_result_values_list("ber") == \
+                res.get_result_values_list("ber")
+            assert loaded.params == res.params
+
+    def test_filename_templating(self, tmp_path):
+        res = self.make_results()
+        fn = str(tmp_path / "r_{m}_{snr}")
+        saved = res.save_to_file(fn)
+        assert saved.endswith("r_4_[0_(5)_10].pickle")
+
+    def test_to_dataframe(self):
+        df = self.make_results().to_dataframe()
+        assert list(df["snr"]) == [0, 5, 10]
+        assert np.allclose(df["ber"], [0.01, 0.02, 0.03])
+
+    def test_combine_simulation_results(self):
+        a = self.make_results((0, 5))
+        b = self.make_results((10, 15))
+        u = combine_simulation_results(a, b)
+        assert np.array_equal(u.params["snr"], [0, 5, 10, 15])
+        assert len(u["ber"]) == 4
+
+
+class TestConfigValidation:
+    def test_range_expr(self):
+        assert np.array_equal(real_numpy_array_check("0:5:21"),
+                              [0, 5, 10, 15, 20])
+        assert np.array_equal(real_numpy_array_check("3:8"), [3, 4, 5, 6, 7])
+        assert np.array_equal(real_numpy_array_check("[0 5 10:2:16]"),
+                              [0, 5, 10, 12, 14])
+        assert np.array_equal(integer_numpy_array_check("1:4"), [1, 2, 3])
+
+    def test_bounds(self):
+        with pytest.raises(ValidationError):
+            real_numpy_array_check("0:5:21", min=1)
+        with pytest.raises(ValidationError):
+            real_numpy_array_check("0:5:21", max=10)
+
+    def test_validate_value(self):
+        assert validate_value("integer(min=1, max=10, default=5)", None) == 5
+        assert validate_value("integer(min=1)", "7") == 7
+        with pytest.raises(ValidationError):
+            validate_value("integer(max=3)", "7")
+        arr = validate_value(
+            "real_numpy_array(min=0, max=100, default=0:5:31)", None)
+        assert np.array_equal(arr, np.arange(0, 31, 5))
+
+    def test_load_config(self, tmp_path):
+        cfg = tmp_path / "sim.conf"
+        cfg.write_text("""
+[Scenario]
+SNR = 0:5:31
+M = 16
+[General]
+rep_max = 1000
+unpacked_parameters = SNR
+""")
+        spec = """
+[Scenario]
+SNR = real_numpy_array(min=-50, max=100, default=15)
+M = integer(min=2, max=512, default=4)
+[General]
+rep_max = integer(min=1, default=500)
+unpacked_parameters = string_list(default=list())
+"""
+        params = load_config(str(cfg), spec)
+        assert np.array_equal(params["SNR"], np.arange(0, 31, 5))
+        assert params["M"] == 16
+        assert params["rep_max"] == 1000
+        assert params.unpacked_parameters == ["SNR"]
+        assert params.get_num_unpacked_variations() == 7
+
+
+# ---------------------------------------------------------------------------
+# Dummy runners (SURVEY §4.5 pattern)
+# ---------------------------------------------------------------------------
+
+
+class _DummyRunner(SimulationRunner):
+    """Serial-path runner with analytically known result 1.2*SNR + bias."""
+
+    def __init__(self):
+        super().__init__(read_command_line_args=False)
+        self.params.add("SNR", np.array([0.0, 5.0, 10.0]))
+        self.params.add("bias", 1.3)
+        self.params.set_unpack_parameter("SNR")
+        self.rep_max = 10
+        self.update_progress_function_style = None
+
+    def _run_simulation(self, current_parameters):
+        res = SimulationResults()
+        value = 1.2 * current_parameters["SNR"] + current_parameters["bias"]
+        res.add_result(Result.create("lala", Result.RATIOTYPE, value, 1))
+        return res
+
+
+class _DummyRunnerWithSkip(_DummyRunner):
+    def __init__(self):
+        super().__init__()
+        self._count = 0
+
+    def _run_simulation(self, current_parameters):
+        self._count += 1
+        if self._count % 3 == 0:
+            raise SkipThisOne("skip every third")
+        return super()._run_simulation(current_parameters)
+
+
+class _DummyBatchRunner(SimulationRunner):
+    """TPU batch-path runner: same analytic result via a jitted kernel."""
+
+    def __init__(self):
+        super().__init__(read_command_line_args=False)
+        self.params.add("SNR", np.array([0.0, 5.0, 10.0]))
+        self.params.add("bias", 1.3)
+        self.params.set_unpack_parameter("SNR")
+        self.rep_max = 10
+        self.update_progress_function_style = None
+        self.batch_result_types = {"lala": Result.RATIOTYPE}
+
+    def _gen_simulation_kernel(self, current_parameters):
+        snr = float(current_parameters["SNR"])
+        bias = float(current_parameters["bias"])
+
+        def kernel(key):
+            del key
+            return {"lala": (jnp.asarray(1.2 * snr + bias),
+                             jnp.asarray(1.0))}
+
+        return kernel
+
+
+class TestSimulationRunner:
+    def test_serial_simulate(self):
+        runner = _DummyRunner()
+        runner.simulate()
+        assert runner.runned_reps == [10, 10, 10]
+        values = runner.results.get_result_values_list("lala")
+        assert np.allclose(values, [1.3, 7.3, 13.3])
+        # elapsed_time result exists per variation
+        assert len(runner.results["elapsed_time"]) == 3
+
+    def test_skip_accounting(self):
+        runner = _DummyRunnerWithSkip()
+        runner.simulate()
+        skipped = runner.results.get_result_values_list("num_skipped_reps")
+        assert sum(skipped) > 0
+        assert runner.runned_reps == [10, 10, 10]
+
+    def test_batch_simulate(self):
+        runner = _DummyBatchRunner()
+        runner.simulate()
+        assert runner.runned_reps == [10, 10, 10]
+        values = runner.results.get_result_values_list("lala")
+        assert np.allclose(values, [1.3, 7.3, 13.3])
+
+    def test_batch_equals_serial(self):
+        a, b = _DummyRunner(), _DummyBatchRunner()
+        a.simulate()
+        b.simulate()
+        assert np.allclose(a.results.get_result_values_list("lala"),
+                           b.results.get_result_values_list("lala"))
+
+    def test_single_variation_index(self, tmp_path):
+        runner = _DummyRunner()
+        runner.set_results_filename(str(tmp_path / "res"))
+        runner.partial_results_folder = str(tmp_path / "partial")
+        runner.simulate(param_variation_index=1)
+        # only that variation's partial file exists; no final results file
+        partials = os.listdir(runner.partial_results_folder)
+        assert partials == ["res_unpack_01.pickle"]
+
+    def test_checkpoint_resume(self, tmp_path):
+        # run fully, then increase rep_max and simulate() again: only the
+        # remaining reps run (reference notebook semantics)
+        runner = _DummyBatchRunner()
+        runner.set_results_filename(str(tmp_path / "res"))
+        runner.partial_results_folder = str(tmp_path / "partial")
+        runner.simulate()
+        assert runner.runned_reps == [10, 10, 10]
+
+        runner2 = _DummyBatchRunner()
+        runner2.rep_max = 16
+        runner2.set_results_filename(str(tmp_path / "res"))
+        runner2.partial_results_folder = str(tmp_path / "partial")
+        runner2.simulate()
+        # resumed: 10 already done; values merged across 16 updates
+        lala = runner2.results["lala"][0]
+        assert lala.num_updates == 16
+
+    def test_checkpoint_mismatch_rejected(self, tmp_path):
+        runner = _DummyBatchRunner()
+        runner.set_results_filename(str(tmp_path / "res"))
+        runner.partial_results_folder = str(tmp_path / "partial")
+        runner.simulate()
+
+        runner2 = _DummyBatchRunner()
+        runner2.params.add("bias", 99.0)  # different scenario
+        runner2.set_results_filename(str(tmp_path / "res"))
+        runner2.partial_results_folder = str(tmp_path / "partial")
+        with pytest.raises(ValueError):
+            runner2.simulate()
+
+    def test_final_results_file(self, tmp_path):
+        runner = _DummyRunner()
+        runner.set_results_filename(str(tmp_path / "final"))
+        runner.partial_results_folder = str(tmp_path / "partial")
+        runner.delete_partial_results_bool = True
+        runner.simulate()
+        loaded = SimulationResults.load_from_file(
+            str(tmp_path / "final.pickle"))
+        assert np.allclose(loaded.get_result_values_list("lala"),
+                           [1.3, 7.3, 13.3])
+        # partial files were deleted
+        assert os.listdir(runner.partial_results_folder) == []
+
+
+class TestEndToEndQpskAwgn:
+    """SURVEY §7 step 4: the minimum end-to-end slice — QPSK over AWGN BER
+    matching theory within MC confidence bounds."""
+
+    class QpskAwgnRunner(SimulationRunner):
+        def __init__(self, snrs, num_symbols=1000, rep_max=50):
+            super().__init__(read_command_line_args=False)
+            from pyphysim_tpu.modulators import QPSK
+            self.params.add("SNR", np.asarray(snrs, dtype=float))
+            self.params.set_unpack_parameter("SNR")
+            self.rep_max = rep_max
+            self.num_symbols = num_symbols
+            self.modulator = QPSK()
+            self.update_progress_function_style = None
+            self.batch_result_types = {
+                "symbol_errors": Result.SUMTYPE,
+                "ser": Result.RATIOTYPE,
+                "bit_errors": Result.SUMTYPE,
+                "ber": Result.RATIOTYPE,
+            }
+
+        def _gen_simulation_kernel(self, current_parameters):
+            from pyphysim_tpu.utils.conversion import dB2Linear
+            from pyphysim_tpu.utils.misc import count_bit_errors, randn_c
+            snr = dB2Linear(float(current_parameters["SNR"]))
+            noise_scale = float(np.sqrt(1.0 / snr))
+            mod = self.modulator
+            n = self.num_symbols
+            K = mod.K
+
+            def kernel(key):
+                k1, k2 = jax.random.split(key)
+                data = jax.random.randint(k1, (n,), 0, mod.M)
+                tx = mod.modulate(data)
+                rx = tx + randn_c(k2, n) * noise_scale
+                decided = mod.demodulate(rx)
+                symbol_errors = jnp.sum(decided != data)
+                bit_errors = count_bit_errors(data, decided)
+                return {
+                    "symbol_errors": symbol_errors,
+                    "ser": (symbol_errors, jnp.asarray(n)),
+                    "bit_errors": bit_errors,
+                    "ber": (bit_errors, jnp.asarray(n * K)),
+                }
+
+            return kernel
+
+    def test_ber_matches_theory(self):
+        snrs = [0.0, 4.0, 8.0]
+        runner = self.QpskAwgnRunner(snrs, num_symbols=2000, rep_max=50)
+        runner.simulate()
+        ser = np.array(runner.results.get_result_values_list("ser"))
+        # exact QPSK SER: 1 - (1 - Q(sqrt(snr)))^2 (the calcTheoreticalSER
+        # union-bound approximation overestimates at low SNR)
+        from pyphysim_tpu.utils.misc import qfunc
+        p = qfunc(np.sqrt(10 ** (np.array(snrs) / 10)))
+        exact = 1 - (1 - p) ** 2
+        approx = runner.modulator.calcTheoreticalSER(np.array(snrs))
+        assert np.allclose(approx, exact, rtol=0.15)  # formulas agree-ish
+        total = 2000 * 50
+        for s, t in zip(ser, exact):
+            std = np.sqrt(t * (1 - t) / total)
+            assert abs(s - t) < 4 * std + 1e-6, (s, t)
+
+    def test_early_stop(self):
+        class EarlyStopRunner(self.QpskAwgnRunner):
+            max_symbol_errors = 500
+
+            def _keep_going(self, params, results, rep):
+                if "symbol_errors" in results and results["symbol_errors"]:
+                    return results["symbol_errors"][-1].get_result() < \
+                        self.max_symbol_errors
+                return True
+
+        runner = EarlyStopRunner([0.0], num_symbols=2000, rep_max=50)
+        runner.batch_size = 1  # fine-grained early stop
+        runner.simulate()
+        # at 0 dB the SER is ~0.3: should stop well before 50 reps
+        assert runner.runned_reps[0] < 50
