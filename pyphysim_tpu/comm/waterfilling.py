@@ -1,0 +1,78 @@
+"""Water-filling power allocation.
+
+Behavioral counterpart of ``pyphysim/comm/waterfilling.py:15-90``:
+iteratively raise the water level, dropping channels whose required power
+is negative, until the total power constraint is met. Host path is plain
+numpy; :func:`doWF_jit` is a fixed-iteration jittable variant (the
+data-dependent channel-dropping loop becomes a masked scan) for use inside
+compiled Monte Carlo kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["doWF", "doWF_jit"]
+
+
+def doWF(vtChannels: np.ndarray, dPt: float, noiseVar: float = 1.0,
+         Es: float = 1.0) -> Tuple[np.ndarray, float]:
+    """Classic water-filling over parallel channel POWER gains.
+
+    Returns ``(optimum_powers, water_level)``.
+    """
+    vtChannels = np.asarray(vtChannels, dtype=float)
+    n = vtChannels.size
+    order = np.argsort(vtChannels)[::-1]
+    g_sorted = vtChannels[order]
+
+    remove = 0
+    while True:
+        kept = n - remove
+        # water level touching the worst kept channel
+        min_mu = noiseVar / (Es * g_sorted[kept - 1])
+        powers = min_mu - noiseVar / (Es * g_sorted[:kept])
+        if powers.sum() <= dPt or remove >= n - 1:
+            break
+        remove += 1
+
+    kept = n - remove
+    powers = powers + (dPt - powers.sum()) / kept
+    opt = np.zeros(n)
+    opt[order[:kept]] = powers
+    mu = powers[0] + noiseVar / g_sorted[0]
+    return opt, float(mu)
+
+
+def doWF_jit(gains: jnp.ndarray, total_power: float,
+             noise_var: float = 1.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Jittable water-filling with a fixed number of iterations.
+
+    Same solution as :func:`doWF` expressed branch-free: for each possible
+    number of kept channels compute the water level in closed form, then
+    select the largest kept-count whose powers are all nonnegative.
+    Batched over leading dims of ``gains``.
+    """
+    gains = jnp.asarray(gains)
+    n = gains.shape[-1]
+    g_sorted = jnp.sort(gains, axis=-1)[..., ::-1]
+    inv = noise_var / g_sorted                         # (..., n)
+    cum_inv = jnp.cumsum(inv, axis=-1)
+    k = jnp.arange(1, n + 1)
+    # water level if the top-k channels are kept:
+    mu_k = (total_power + cum_inv) / k                  # (..., n)
+    # feasible if the k-th channel still gets nonnegative power
+    feasible = mu_k >= inv
+    # the optimum keeps as many channels as possible
+    kept = jnp.sum(feasible, axis=-1)                   # (...,)
+    mu = jnp.take_along_axis(mu_k, (kept - 1)[..., None], axis=-1)[..., 0]
+    powers_sorted = jnp.maximum(mu[..., None] - inv, 0.0)
+    # unsort back to the original channel order
+    order = jnp.argsort(-gains, axis=-1)
+    inv_order = jnp.argsort(order, axis=-1)
+    powers = jnp.take_along_axis(powers_sorted, inv_order, axis=-1)
+    return powers, mu

@@ -317,18 +317,28 @@ def leig_h(A: jnp.ndarray, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def least_right_singular_vectors(
         A, n: int):
     """Split the right singular vectors of ``A`` by singular value
-    (misc.py:595-663): returns ``(V0, V1, S)`` where ``V1`` holds the ``n``
-    *least* right singular vectors, ``V0`` the remaining ones, and ``S`` the
-    singular values associated with ``V0``. Works on numpy and jnp arrays
-    (batched: leading dims broadcast)."""
-    xp = jnp if isinstance(A, jnp.ndarray) else np
-    _, s, vh = xp.linalg.svd(A, full_matrices=True)
-    V = xp.conj(xp.swapaxes(vh, -1, -2))
-    # numpy/jnp svd returns singular values descending: least are the last n.
-    V0 = V[..., :-n] if n > 0 else V
-    V1 = V[..., V.shape[-1] - n:]
-    S0 = s[..., :max(V.shape[-1] - n, 0)]
-    return V0, V1, S0
+    (misc.py:595-663): returns ``(V0, V1, S)`` where ``V0`` holds the ``n``
+    *least* significant right singular vectors, ``V1`` the remaining ones,
+    and ``S`` the singular values associated with ``V1`` — all in ASCENDING
+    singular-value order, exactly matching the reference's doctested
+    convention. Works on numpy (host) arrays; a cplx variant exists for
+    the device path."""
+    A = np.asarray(A)
+    _, s, vh = np.linalg.svd(A, full_matrices=True)
+    V = np.conj(vh.T)
+    # reverse to ascending singular-value order; columns beyond len(s)
+    # (null space from full_matrices) come first after the reversal.
+    V = V[:, ::-1]
+    s_asc = s[::-1]
+    ncols = V.shape[1]
+    V0 = V[:, :n]
+    V1 = V[:, n:]
+    # singular values matching V1's columns (the trailing ncols-n of the
+    # ascending order; columns without a singular value correspond to the
+    # null space and sit at the front)
+    num_null = ncols - s_asc.size
+    S = s_asc[max(n - num_null, 0):]
+    return V0, V1, S
 
 
 def calc_unorm_autocorr(x: np.ndarray) -> np.ndarray:

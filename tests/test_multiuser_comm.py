@@ -1,0 +1,390 @@
+"""Tests for multiuser channels, waterfilling, block diagonalization and
+subspace projections."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyphysim_tpu.channels import (MuChannel, MuMimoChannel,
+                                   MultiUserChannelMatrix,
+                                   MultiUserChannelMatrixExtInt,
+                                   RayleighSampleGenerator)
+from pyphysim_tpu.channels.singleuser import SuChannel, SuMimoChannel
+from pyphysim_tpu.comm import (BlockDiagonalizer, EnhancedBD, WhiteningBD,
+                               doWF)
+from pyphysim_tpu.comm.waterfilling import doWF_jit
+from pyphysim_tpu.ops import cplx
+from pyphysim_tpu.subspace import (Projection, calcProjectionMatrix,
+                                   calcOrthogonalProjectionMatrix)
+from pyphysim_tpu.utils.misc import randn_c, randn_c_RS
+
+
+def rand_c(shape, seed=0):
+    rs = np.random.RandomState(seed)
+    return randn_c_RS(rs, *shape)
+
+
+class TestSuChannel:
+    def test_pathloss_scaling(self):
+        su = SuChannel()
+        su.set_pathloss(0.25)
+        su.seed(0)
+        x = randn_c(jax.random.PRNGKey(1), 50)
+        out = su.corrupt_data(x)
+        su2 = SuChannel()
+        su2.seed(0)
+        out2 = su2.corrupt_data(x)
+        assert np.allclose(out.to_numpy(), 0.5 * out2.to_numpy(), atol=1e-5)
+        with pytest.raises(ValueError):
+            su.set_pathloss(2.0)
+
+    def test_su_mimo(self):
+        su = SuMimoChannel(N=3)
+        assert su.num_tx_antennas == 3
+        assert su.num_rx_antennas == 3
+        x = randn_c(jax.random.PRNGKey(0), 3, 10)
+        su.seed(1)
+        out = su.corrupt_data(x)
+        assert out.shape == (3, 10)
+
+
+class TestMuChannel:
+    def test_interference_sum(self):
+        mu = MuChannel(N=2)
+        mu.seed(0)
+        x = randn_c(jax.random.PRNGKey(1), 2, 30)
+        out = mu.corrupt_data(x)
+        assert len(out) == 2
+        # manual: out[r] = sum_t su[r][t](x[t]) using last irs
+        for r in range(2):
+            acc = np.zeros(30, complex)
+            for t in range(2):
+                ir = mu.get_last_impulse_response(r, t)
+                taps = ir.tap_values_sparse.to_numpy()[0]
+                acc += taps * x.to_numpy()[t]
+            assert np.allclose(out[r].to_numpy(), acc, atol=1e-4)
+
+    def test_independent_links(self):
+        mu = MuChannel(N=2)
+        mu.seed(3)
+        x = randn_c(jax.random.PRNGKey(1), 2, 10)
+        mu.corrupt_data(x)
+        h00 = mu.get_last_impulse_response(0, 0).tap_values_sparse.to_numpy()
+        h01 = mu.get_last_impulse_response(0, 1).tap_values_sparse.to_numpy()
+        assert not np.allclose(h00, h01)
+
+    def test_mu_mimo_shapes(self):
+        mu = MuMimoChannel(N=2, num_rx_antennas=2, num_tx_antennas=3)
+        mu.seed(0)
+        x = randn_c(jax.random.PRNGKey(1), 2, 3, 12)
+        out = mu.corrupt_data([x[0], x[1]])
+        assert len(out) == 2
+        assert out[0].shape == (2, 12)
+
+
+class TestMultiUserChannelMatrix:
+    def make(self, K=3, Nr=2, Nt=2, seed=0):
+        mu = MultiUserChannelMatrix()
+        mu.set_channel_seed(seed)
+        mu.randomize(Nr, Nt, K)
+        return mu
+
+    def test_randomize_shapes(self):
+        mu = self.make()
+        assert mu.K == 3
+        assert mu.big_H.shape == (6, 6)
+        assert mu.H.shape == (3, 3, 2, 2)
+        assert np.array_equal(mu.Nr, [2, 2, 2])
+
+    def test_get_Hkl_consistency(self):
+        mu = self.make()
+        big = mu.big_H.to_numpy()
+        h12 = mu.get_Hkl(1, 2).to_numpy()
+        assert np.allclose(h12, big[2:4, 4:6])
+        hk = mu.get_Hk(1).to_numpy()
+        assert np.allclose(hk, big[2:4, :])
+
+    def test_init_from_channel_matrix_and_corrupt(self):
+        mu = MultiUserChannelMatrix()
+        H = rand_c((4, 4), 1)
+        mu.init_from_channel_matrix(H, np.array([2, 2]), np.array([2, 2]), 2)
+        mu.noise_var = None
+        data = [rand_c((2, 5), 2), rand_c((2, 5), 3)]
+        out = mu.corrupt_data(data)
+        concat = np.vstack([d for d in data])
+        expected = H @ concat
+        assert np.allclose(out[0].to_numpy(), expected[:2], atol=1e-4)
+        assert np.allclose(out[1].to_numpy(), expected[2:], atol=1e-4)
+
+    def test_noise_added(self):
+        mu = self.make()
+        mu.noise_var = 0.1
+        data = [rand_c((2, 1000), i) for i in range(3)]
+        out = mu.corrupt_data(data)
+        assert mu.last_noise is not None
+        noise_power = np.mean(np.abs(mu.last_noise.to_numpy()) ** 2)
+        assert np.isclose(noise_power, 0.1, rtol=0.15)
+
+    def test_pathloss_scaling(self):
+        mu = MultiUserChannelMatrix()
+        H = np.ones((2, 2), dtype=complex)
+        mu.init_from_channel_matrix(H, np.array([1, 1]), np.array([1, 1]), 2)
+        pl = np.array([[1.0, 0.25], [0.04, 1.0]])
+        mu.set_pathloss(pl)
+        big = mu.big_H.to_numpy()
+        assert np.allclose(np.abs(big), [[1, 0.5], [0.2, 1]])
+
+    def test_calc_Q(self):
+        mu = self.make(K=2)
+        mu.noise_var = 0.1
+        F = [cplx.from_numpy(rand_c((2, 1), 5)),
+             cplx.from_numpy(rand_c((2, 1), 6))]
+        Q0 = mu.calc_Q(0, F).to_numpy()
+        # manual
+        H01 = mu.get_Hkl(0, 1).to_numpy()
+        F1 = F[1].to_numpy()
+        expected = H01 @ F1 @ F1.conj().T @ H01.conj().T + 0.1 * np.eye(2)
+        assert np.allclose(Q0, expected, atol=1e-4)
+
+    def test_calc_SINR_perfect_alignment(self):
+        # orthogonal precoders/filters on a diagonal channel -> huge SINR
+        mu = MultiUserChannelMatrix()
+        H = np.kron(np.eye(2), np.array([[1.0, 0], [0, 1.0]])).astype(
+            complex)
+        mu.init_from_channel_matrix(H, np.array([2, 2]), np.array([2, 2]), 2)
+        mu.noise_var = 1e-8
+        F = [cplx.from_numpy(np.array([[1.0], [0]], dtype=complex)),
+             cplx.from_numpy(np.array([[1.0], [0]], dtype=complex))]
+        U = F
+        sinrs = mu.calc_SINR(F, U)
+        assert float(np.asarray(sinrs[0])[0]) > 1e6
+
+    def test_calc_SINR_matches_manual(self):
+        mu = self.make(K=2, seed=7)
+        mu.noise_var = 0.05
+        F = [cplx.from_numpy(rand_c((2, 2), 8) / 2),
+             cplx.from_numpy(rand_c((2, 2), 9) / 2)]
+        U = [cplx.from_numpy(rand_c((2, 2), 10)),
+             cplx.from_numpy(rand_c((2, 2), 11))]
+        sinrs = mu.calc_SINR(F, U)
+        # manual for user 0, stream 0
+        H00 = mu.get_Hkl(0, 0).to_numpy()
+        H01 = mu.get_Hkl(0, 1).to_numpy()
+        F0, F1 = F[0].to_numpy(), F[1].to_numpy()
+        U0 = U[0].to_numpy()
+        first = (H00 @ F0 @ F0.conj().T @ H00.conj().T +
+                 H01 @ F1 @ F1.conj().T @ H01.conj().T +
+                 0.05 * np.eye(2))
+        v = F0[:, 0:1]
+        B00 = first - H00 @ v @ v.conj().T @ H00.conj().T
+        u = U0[:, 0:1]
+        num = np.abs(u.conj().T @ H00 @ v) ** 2
+        den = np.abs(u.conj().T @ B00 @ u)
+        assert np.isclose(float(np.asarray(sinrs[0])[0]),
+                          float(num / den), rtol=1e-3)
+
+    def test_jit_vmap_randomize_and_sinr(self):
+        # the whole (randomize -> SINR) flow must jit over realizations
+        mu = MultiUserChannelMatrix()
+        mu.randomize(2, 2, 2)  # set counts
+
+        @jax.jit
+        def run(key):
+            m = MultiUserChannelMatrix()
+            m.noise_var = 0.1
+            m.randomize(2, 2, 2, key=key)
+            F = [cplx.from_numpy(np.eye(2, 1).astype(complex))] * 2
+            return m.calc_SINR(F, F)[0]
+
+        out = run(jax.random.PRNGKey(0))
+        assert np.asarray(out).shape == (1,)
+
+
+class TestMultiUserChannelMatrixExtInt:
+    def test_shapes(self):
+        mu = MultiUserChannelMatrixExtInt()
+        mu.set_channel_seed(0)
+        mu.randomize(2, 2, 2, NtE=1)
+        assert mu.K == 2
+        assert mu.extIntK == 1
+        assert mu.big_H.shape == (4, 5)
+        assert mu.big_H_no_ext_int.shape == (4, 4)
+        assert mu.get_Hk_with_ext_int(0).shape == (2, 5)
+        assert mu.get_Hk_without_ext_int(0).shape == (2, 4)
+
+    def test_ext_int_covariance(self):
+        mu = MultiUserChannelMatrixExtInt()
+        mu.set_channel_seed(1)
+        mu.randomize(2, 2, 2, NtE=1)
+        mu.noise_var = 0.1
+        pe = 0.5
+        R = mu.calc_cov_matrix_extint_plus_noise(pe)
+        he = mu.get_Hkl(0, 2).to_numpy()
+        expected = pe * he @ he.conj().T + 0.1 * np.eye(2)
+        assert np.allclose(R[0].to_numpy(), expected, atol=1e-4)
+
+    def test_corrupt_with_ext_data(self):
+        mu = MultiUserChannelMatrixExtInt()
+        H = rand_c((2, 3), 2)
+        mu.init_from_channel_matrix(H, np.array([1, 1]),
+                                    np.array([1, 1]), 2, NtE=1)
+        data = [rand_c((1, 4), 3), rand_c((1, 4), 4)]
+        ext = [rand_c((1, 4), 5)]
+        out = mu.corrupt_data(data, ext)
+        concat = np.vstack(data + ext)
+        expected = H @ concat
+        assert np.allclose(out[0].to_numpy(), expected[0:1], atol=1e-4)
+
+
+class TestWaterfilling:
+    def test_total_power_and_level(self):
+        gains = np.array([1.0, 0.5, 0.1])
+        p, mu = doWF(gains, 10.0, noiseVar=1.0)
+        assert np.isclose(p.sum(), 10.0)
+        # water level equalization: p_i + N/g_i == mu for active channels
+        for i in range(3):
+            if p[i] > 0:
+                assert np.isclose(p[i] + 1.0 / gains[i], mu, rtol=1e-6)
+
+    def test_channel_dropping(self):
+        gains = np.array([1.0, 1e-4])
+        p, _ = doWF(gains, 1.0, noiseVar=1.0)
+        assert p[1] == 0.0  # terrible channel dropped
+        assert np.isclose(p[0], 1.0)
+
+    def test_jit_variant_matches(self):
+        rng = np.random.RandomState(0)
+        for _ in range(10):
+            gains = rng.rand(5) + 0.01
+            pt = rng.rand() * 10 + 0.1
+            p_ref, mu_ref = doWF(gains, pt, noiseVar=0.7)
+            p_jit, mu_jit = doWF_jit(jnp.asarray(gains), pt, noise_var=0.7)
+            assert np.allclose(np.asarray(p_jit), p_ref, atol=1e-4)
+            assert np.isclose(float(np.asarray(mu_jit)), mu_ref, atol=1e-4)
+
+
+class TestProjections:
+    def test_projection_matrix(self):
+        A = rand_c((4, 2), 0)
+        Q = calcProjectionMatrix(A)
+        # projector: Q^2 = Q, Q A = A
+        assert np.allclose(Q @ Q, Q, atol=1e-6)
+        assert np.allclose(Q @ A, A, atol=1e-6)
+        oQ = calcOrthogonalProjectionMatrix(A)
+        assert np.allclose(oQ @ A, 0, atol=1e-6)
+
+    def test_projection_object_and_carray(self):
+        A = rand_c((3, 1), 1)
+        p = Projection(A)
+        v = rand_c((3, 1), 2)
+        assert np.allclose(p.project_matrix(v) +
+                           p.project_matrix_onto_orthogonal_space(v), v,
+                           atol=1e-6)
+        Qc = calcProjectionMatrix(cplx.from_numpy(A))
+        assert np.allclose(Qc.to_numpy(), calcProjectionMatrix(A), atol=1e-4)
+
+
+class TestBlockDiagonalizer:
+    def test_block_diagonalization(self):
+        for method in ("block_diagonalize",
+                       "block_diagonalize_no_waterfilling"):
+            bd = BlockDiagonalizer(num_users=2, iPu=1.5, noise_var=1e-4)
+            H = rand_c((4, 4), 42)
+            newH, Ms = getattr(bd, method)(H)
+            # off-diagonal blocks are nulled
+            assert np.allclose(newH[:2, 2:], 0, atol=1e-5), method
+            assert np.allclose(newH[2:, :2], 0, atol=1e-5), method
+            # per-BS power constraint: no BS exceeds iPu
+            for u in range(2):
+                pw = np.linalg.norm(Ms[:, 2 * u:2 * u + 2], "fro") ** 2
+                assert pw <= 1.5 + 1e-6, method
+            assert np.allclose(newH, H @ Ms, atol=1e-5)
+
+    def test_no_waterfilling_uses_full_power(self):
+        bd = BlockDiagonalizer(2, 1.5, 1e-4)
+        H = rand_c((4, 4), 3)
+        _, Ms = bd.block_diagonalize_no_waterfilling(H)
+        for u in range(2):
+            pw = np.linalg.norm(Ms[:, 2 * u:2 * u + 2], "fro") ** 2
+            assert np.isclose(pw, 1.5, rtol=1e-5)
+
+    def test_receive_filter_recovers(self):
+        bd = BlockDiagonalizer(2, 1.0, 1e-4)
+        H = rand_c((4, 4), 5)
+        newH, Ms = bd.block_diagonalize_no_waterfilling(H)
+        W = BlockDiagonalizer.calc_receive_filter(newH)
+        x = rand_c((4, 20), 6)
+        assert np.allclose(W @ (H @ (Ms @ x)), x, atol=1e-3)
+
+    def test_invalid_rows(self):
+        bd = BlockDiagonalizer(3, 1.0, 1e-4)
+        with pytest.raises(ValueError):
+            bd.block_diagonalize(rand_c((4, 4), 0))
+
+
+class TestEnhancedAndWhiteningBD:
+    def make_channel(self, seed=0):
+        mu = MultiUserChannelMatrixExtInt()
+        mu.set_channel_seed(seed)
+        mu.randomize(2, 2, 2, NtE=1)
+        mu.noise_var = 1e-3
+        return mu
+
+    def test_no_reduction(self):
+        mu = self.make_channel()
+        ebd = EnhancedBD(2, 1.0, 1e-3, pe=0.5)
+        ebd.set_ext_int_handling_metric(None)
+        MsPk, Wk, Ns = ebd.block_diagonalize_no_waterfilling(mu)
+        assert len(MsPk) == 2
+        assert np.array_equal(Ns, [2, 2])
+        # precoders respect power
+        for m in MsPk:
+            assert np.linalg.norm(m, "fro") ** 2 <= 1.0 + 1e-6
+
+    @pytest.mark.parametrize("metric", ["fixed", "naive"])
+    def test_fixed_naive(self, metric):
+        mu = self.make_channel(1)
+        ebd = EnhancedBD(2, 1.0, 1e-3, pe=0.5)
+        ebd.set_ext_int_handling_metric(metric, {"num_streams": 1})
+        MsPk, Wk, Ns = ebd.block_diagonalize_no_waterfilling(mu)
+        assert np.array_equal(Ns, [1, 1])
+        assert MsPk[0].shape == (4, 1)
+        assert Wk[0].shape == (1, 2)
+
+    @pytest.mark.parametrize("metric,extra", [
+        ("capacity", None),
+        ("effective_throughput", "modpack"),
+    ])
+    def test_decide_metrics(self, metric, extra):
+        from pyphysim_tpu.modulators import QAM
+        mu = self.make_channel(2)
+        ebd = EnhancedBD(2, 1.0, 1e-3, pe=10.0)
+        kwargs = ({"modulator": QAM(16), "packet_length": 60}
+                  if extra else None)
+        ebd.set_ext_int_handling_metric(metric, kwargs)
+        MsPk, Wk, Ns = ebd.block_diagonalize_no_waterfilling(mu)
+        assert all(1 <= n <= 2 for n in Ns)
+
+    def test_metric_validation(self):
+        ebd = EnhancedBD(2, 1.0, 1e-3, pe=0.5)
+        with pytest.raises(AttributeError):
+            ebd.set_ext_int_handling_metric("bogus")
+        with pytest.raises(AttributeError):
+            ebd.set_ext_int_handling_metric("naive")
+        with pytest.raises(AttributeError):
+            ebd.set_ext_int_handling_metric("effective_throughput")
+        assert ebd.metric_name == "None"
+
+    def test_whitening_bd(self):
+        mu = self.make_channel(3)
+        wbd = WhiteningBD(2, 1.0, 1e-3, pe=0.5)
+        Ms_all, Wk_all, Ns = wbd.block_diagonalize_no_waterfilling(mu)
+        assert len(Ms_all) == 2
+        assert np.array_equal(Ns, [2, 2])
+        # combined precoder block diagonalizes the WHITENED channel:
+        # the cross-user part of W_k H M_j must be ~0
+        H = mu.big_H_no_ext_int.to_numpy()
+        cross = Wk_all[0] @ H[:2, :] @ Ms_all[1]
+        same = Wk_all[0] @ H[:2, :] @ Ms_all[0]
+        assert np.linalg.norm(cross) < 1e-4 * np.linalg.norm(same)

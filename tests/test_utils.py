@@ -194,16 +194,23 @@ class TestLinalg:
 
     def test_least_right_singular_vectors(self):
         rng = np.random.RandomState(5)
-        A = rng.randn(4, 6) + 1j * rng.randn(4, 6)
-        V0, V1, S0 = misc.least_right_singular_vectors(A, 2)
-        assert V1.shape == (6, 2)
-        assert V0.shape == (6, 4)
-        # A @ V1 has small norm relative to A @ V0 for the null-ish space
-        _, s, vh = np.linalg.svd(A, full_matrices=True)
-        # V1 spans the least right singular vectors
+        A = rng.randn(6, 4) + 1j * rng.randn(6, 4)
+        V0, V1, S = misc.least_right_singular_vectors(A, 1)
+        assert V0.shape == (4, 1)
+        assert V1.shape == (4, 3)
+        # V0 spans the LEAST right singular vector; S ascending for V1
+        _, s, vh = np.linalg.svd(A)
         Vfull = vh.conj().T
-        proj = Vfull[:, -2:].conj().T @ V1
-        assert np.allclose(np.abs(np.linalg.det(proj)), 1.0, atol=1e-8)
+        proj = Vfull[:, -1:].conj().T @ V0
+        assert np.allclose(np.abs(proj), 1.0, atol=1e-8)
+        assert np.allclose(S, s[::-1][1:])
+        assert np.all(np.diff(S) >= 0)
+        # reference doctest example (misc.py:631-644)
+        B = np.array([1, 2, 3, 6, 5, 4, 2, 2, 1], dtype=float).reshape(3, 3)
+        min_Vs, remaining_Vs, S2 = misc.least_right_singular_vectors(B, 1)
+        assert np.allclose(np.abs(min_Vs[:, 0]),
+                           np.abs([-0.4474985, 0.81116484, -0.3765059]))
+        assert np.allclose(S2, [1.88354706, 9.81370681])
 
     def test_update_inv_sum_diag(self):
         rng = np.random.RandomState(6)
