@@ -1,0 +1,151 @@
+"""Tests for the interference alignment solvers — alignment-quality
+property checks (interference leakage -> 0, sum capacity grows with SNR)
+mirroring the reference's tests/ia_package_test.py strategy."""
+
+import numpy as np
+import pytest
+
+from pyphysim_tpu.channels import MultiUserChannelMatrix
+from pyphysim_tpu.ia import (AlternatingMinIASolver,
+                             BruteForceStreamIASolver, ClosedFormIASolver,
+                             GreedStreamIASolver, MaxSinrIASolver,
+                             MinLeakageIASolver, MMSEIASolver)
+
+
+def make_channel(K=3, Nr=2, Nt=2, seed=0, noise_var=1e-4):
+    mu = MultiUserChannelMatrix()
+    mu.set_channel_seed(seed)
+    mu.randomize(Nr, Nt, K)
+    mu.noise_var = noise_var
+    return mu
+
+
+def total_leakage(solver):
+    """Interference power leaking through the receive filters."""
+    leak = 0.0
+    for k in range(solver.K):
+        Qk = solver.calc_Q(k)
+        Wk = solver.W[k]
+        leak += float(np.trace(np.abs(Wk.conj().T @ Qk @ Wk)))
+    return leak
+
+
+class TestClosedForm:
+    def test_perfect_alignment(self):
+        mu = make_channel(K=3, Nr=2, Nt=2, seed=1)
+        solver = ClosedFormIASolver(mu)
+        solver.solve(Ns=1)
+        # closed form: interference is perfectly aligned and nulled
+        assert total_leakage(solver) < 1e-8
+        sinrs = solver.calc_SINR()
+        assert all(float(s) > 1e3 for s in np.hstack(sinrs))
+        assert solver.calc_sum_capacity() > 10
+
+    def test_requires_3_users(self):
+        mu = make_channel(K=2)
+        solver = ClosedFormIASolver(mu)
+        with pytest.raises(AssertionError):
+            solver.solve(Ns=1)
+
+    def test_best_init_at_least_as_good(self):
+        mu = make_channel(K=3, seed=2)
+        best = ClosedFormIASolver(mu, use_best_init=True)
+        best.solve(Ns=1)
+        plain = ClosedFormIASolver(mu, use_best_init=False)
+        plain.solve(Ns=1)
+        assert best.calc_sum_capacity() >= plain.calc_sum_capacity() - 1e-9
+
+
+class TestIterativeSolvers:
+    @pytest.mark.parametrize("cls", [AlternatingMinIASolver,
+                                     MinLeakageIASolver, MaxSinrIASolver,
+                                     MMSEIASolver])
+    def test_reduces_leakage(self, cls):
+        mu = make_channel(K=3, seed=3)
+        solver = cls(mu)
+        solver.max_iterations = 100
+        iters = solver.solve(Ns=1, P=1.0)
+        assert 1 <= iters <= 100
+        # after convergence, leakage must be far below signal power
+        sig = 0.0
+        for k in range(3):
+            Hkk = solver._get_channel(k, k)
+            sig += np.linalg.norm(
+                solver.W[k].conj().T @ Hkk @ solver.full_F[k]) ** 2
+        assert total_leakage(solver) < 0.05 * sig, cls.__name__
+
+    def test_max_sinr_capacity_grows_with_power(self):
+        caps = []
+        for P in (0.1, 1.0, 10.0):
+            mu = make_channel(K=3, seed=4)
+            solver = MaxSinrIASolver(mu)
+            solver.max_iterations = 60
+            solver.solve(Ns=1, P=P)
+            caps.append(solver.calc_sum_capacity())
+        assert caps[0] < caps[1] < caps[2]
+
+    def test_initialize_options(self):
+        for init in ("random", "svd", "alt_min", "closed_form"):
+            mu = make_channel(K=3, seed=5)
+            solver = MaxSinrIASolver(mu)
+            solver.initialize_with = init
+            solver.max_iterations = 20
+            solver.solve(Ns=1, P=1.0)
+            assert solver.F is not None
+        with pytest.raises(RuntimeError):
+            solver.initialize_with = "bogus"
+        # alt-min solver refuses closed_form init
+        s2 = AlternatingMinIASolver(make_channel())
+        with pytest.raises(RuntimeError):
+            s2.initialize_with = "closed_form"
+
+    def test_fix_initialization_requires_precoders(self):
+        mu = make_channel(K=3, seed=6)
+        solver = MaxSinrIASolver(mu)
+        solver.initialize_with = "fix"
+        with pytest.raises(RuntimeError):
+            solver.solve(Ns=1, P=1.0)
+
+    def test_mmse_power_constraint(self):
+        mu = make_channel(K=3, seed=7, noise_var=0.01)
+        solver = MMSEIASolver(mu)
+        solver.max_iterations = 60
+        solver.solve(Ns=1, P=2.0)
+        for k in range(3):
+            p = np.linalg.norm(solver.full_F[k], "fro") ** 2
+            assert p <= 2.0 + 1e-3
+
+    def test_solver_requires_channel_object(self):
+        with pytest.raises(ValueError):
+            MaxSinrIASolver("not a channel")
+
+
+class TestMetaSolvers:
+    def test_greedy_stream_solver(self):
+        mu = make_channel(K=3, Nr=4, Nt=4, seed=8, noise_var=0.1)
+        inner = MaxSinrIASolver(mu)
+        inner.max_iterations = 30
+        greedy = GreedStreamIASolver(inner)
+        greedy.solve(Ns=2, P=1.0)
+        assert len(greedy.every_sum_capacity) >= 1
+        # final solution exists and has valid dimensions
+        for k in range(3):
+            assert inner.F[k].shape[0] == 4
+            assert 1 <= inner.F[k].shape[1] <= 2
+
+    def test_brute_force_stream_solver(self):
+        mu = make_channel(K=2, Nr=2, Nt=2, seed=9, noise_var=0.1)
+        inner = AlternatingMinIASolver(mu)
+        inner.max_iterations = 25
+        brute = BruteForceStreamIASolver(inner)
+        brute.solve(Ns=2, P=1.0)
+        assert len(brute.stream_combinations) == 4  # (1,1),(1,2),(2,1),(2,2)
+        assert len(brute.every_sum_capacity) == 4
+        best = max(brute.every_sum_capacity)
+        inner2 = AlternatingMinIASolver(make_channel(K=2, Nr=2, Nt=2,
+                                                     seed=9, noise_var=0.1))
+        inner2.max_iterations = 25
+        inner2.initialize_with = "svd"
+        inner2.solve(Ns=1, P=1.0)
+        # brute force is at least as good as any single choice it tried
+        assert best >= inner2.calc_sum_capacity() - 1e-6
