@@ -275,16 +275,21 @@ class SimulationRunner:
     # ------------------------------------------------------------------
 
     def _get_progress_bar(self, variation_index: int, num_variations: int,
-                          rep_max: int):
+                          rep_max: int, current_params=None):
         from ..progressbar import (DummyProgressbar, ProgressbarText,
                                    ProgressbarText2, ProgressbarText3)
         styles = {"text1": ProgressbarText, "text2": ProgressbarText2,
                   "text3": ProgressbarText3}
         if self.update_progress_function_style not in styles:
             return DummyProgressbar()
-        message = self.progressbar_message.format(**{
-            k: v for k, v in self.params.parameters.items()
-            if not isinstance(v, (list, np.ndarray))})
+        source = (current_params.parameters if current_params is not None
+                  else self.params.parameters)
+        try:
+            message = self.progressbar_message.format(**{
+                k: v for k, v in source.items()
+                if not isinstance(v, (list, np.ndarray))})
+        except (KeyError, IndexError):
+            message = self.progressbar_message
         output = None
         if self.progress_output_type == "file":
             base = self._get_results_filename() or "simulation"
@@ -385,7 +390,7 @@ class SimulationRunner:
             current_rep = 0
 
         pbar = self._get_progress_bar(variation_index, num_variations,
-                                      self.rep_max)
+                                      self.rep_max, current_params)
 
         kernel = self._gen_simulation_kernel(current_params)
         tic = time.time()
