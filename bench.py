@@ -1,13 +1,22 @@
-"""Benchmark: simulated QAM symbols/s/chip through the PHY chain.
+"""Benchmark: simulated QAM symbols/s/chip through the OFDM+TDL chain.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Baseline (BASELINE.md): the reference pyphysim sustains ~4.3e5 simulated
-symbols/s on one CPU core through its simplest (AWGN) chain; the OFDM+TDL
-chain is strictly slower. North star: >= 1e9 symbols/s/chip through
-OFDM+TDL.
+Chain: 16-QAM -> OFDM(512, cp 52, 300 used) -> COST259-TU TDL with Jakes
+Doppler (block-static per OFDM symbol, frequency-domain overlap-add
+convolution) -> AWGN -> one-tap equalization -> hard demodulation -> BER
+count. Monte Carlo realizations vmapped into one jitted program.
 
-Runs on whatever backend jax selects (the real TPU chip under the driver).
+Measurement notes:
+  * dispatch many steps and fetch ONE reduced scalar at the end — on the
+    remote-attached TPU, per-step host syncs dominate otherwise and
+    ``block_until_ready`` alone under-reports,
+  * the error count is summed over all steps and sanity-checked against
+    the expected BER so the compiler cannot elide work.
+
+Baseline (BASELINE.md): reference pyphysim sustains ~4.3e5 simulated
+symbols/s on one CPU core (its OFDM+TDL chain is strictly slower).
+North star: >= 1e9 symbols/s/chip.
 """
 
 from __future__ import annotations
@@ -22,67 +31,49 @@ BASELINE_SYMBOLS_PER_SEC = 4.3e5  # reference, 1 CPU core (BASELINE.md)
 
 
 def bench_ofdm_tdl() -> float:
-    """Symbols/s through 16-QAM -> OFDM -> TDL(Jakes) -> equalize ->
-    demod -> BER count. Returns symbols/s."""
+    import pyphysim_tpu.ops.fft as cfft
+    cfft.FOUR_STEP_MIN = 10_000  # direct DFT matmul beats 4-step here
     import __graft_entry__ as g
 
-    num_symbols = 300 * 64          # data symbols per realization
-    batch = 64                      # realizations per step
+    batch = 512
+    num_symbols = 300 * 64
+    snr_db = 15.0
     step = g._make_chain_step(num_symbols=num_symbols, fft_size=512,
-                              cp_size=52, num_used=300)
+                              cp_size=52, num_used=300, block_static=True,
+                              precision=jax.lax.Precision.DEFAULT)
 
-    def mc(keys, snrs):
-        return jnp.sum(jax.vmap(step)(keys, snrs))
+    snrs = jnp.full((batch,), 10 ** (snr_db / 10.0))
+    iters = 30
 
-    fn = jax.jit(mc)
-    keys = jax.random.split(jax.random.PRNGKey(0), batch)
-    snrs = jnp.full((batch,), 15.0)
-    fn(keys, snrs).block_until_ready()  # compile
+    @jax.jit
+    def run_many(base_key):
+        def body(carry, i):
+            keys = jax.random.split(jax.random.fold_in(base_key, i), batch)
+            return carry + jnp.sum(jax.vmap(step)(keys, snrs)), 0
 
-    n_iters = 10
+        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32),
+                                jnp.arange(iters))
+        return total
+
+    # compile + warm up (forces one real round trip)
+    int(run_many(jax.random.PRNGKey(0)))
+
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        keys = jax.random.split(jax.random.PRNGKey(i + 1), batch)
-        out = fn(keys, snrs)
-    out.block_until_ready()
+    total_errors = int(run_many(jax.random.PRNGKey(1)))
     dt = time.perf_counter() - t0
-    total_symbols = num_symbols * batch * n_iters
-    return total_symbols / dt
 
+    # sanity: BER at 15 dB for this chain is ~0.037; a wildly different
+    # value means the chain was broken or elided
+    ber = total_errors / (batch * num_symbols * 4 * iters)
+    assert 0.02 < ber < 0.06, f"implausible BER {ber}"
 
-def bench_awgn_fallback() -> float:
-    """QPSK/AWGN chain fallback (pre-channels builds)."""
-    import __graft_entry__ as g
-    step, _ = g.entry()
-    batch = 256
-
-    def mc(keys, snrs):
-        return jnp.sum(jax.vmap(step)(keys, snrs))
-
-    fn = jax.jit(mc)
-    keys = jax.random.split(jax.random.PRNGKey(0), batch)
-    snrs = jnp.full((batch,), 10.0)
-    fn(keys, snrs).block_until_ready()
-    n_iters = 10
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        keys = jax.random.split(jax.random.PRNGKey(i + 1), batch)
-        out = fn(keys, snrs)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    return 4096 * batch * n_iters / dt
+    return batch * num_symbols * iters / dt
 
 
 def main() -> None:
-    try:
-        value = bench_ofdm_tdl()
-        metric = "simulated QAM symbols/s/chip (OFDM+TDL chain)"
-    except ImportError:
-        value = bench_awgn_fallback()
-        metric = "simulated QAM symbols/s/chip (QPSK/AWGN chain; " \
-                 "OFDM+TDL pending)"
+    value = bench_ofdm_tdl()
     print(json.dumps({
-        "metric": metric,
+        "metric": "simulated QAM symbols/s/chip (OFDM+TDL chain)",
         "value": value,
         "unit": "symbols/s",
         "vs_baseline": value / BASELINE_SYMBOLS_PER_SEC,

@@ -385,7 +385,8 @@ class TdlChannel:
             self._channel_profile)
         return ir, state
 
-    def corrupt_data(self, state_or_signal, signal=None):
+    def corrupt_data(self, state_or_signal, signal=None,
+                     block_size: Optional[int] = None):
         """Time-domain transmission through the time-varying channel.
 
         Functional form ``corrupt_data(state, signal)`` returns
@@ -393,23 +394,72 @@ class TdlChannel:
         ``corrupt_data(signal)`` threads the internal state and returns
         only the output (reference-style).
 
+        ``block_size``: when given, the channel is held constant over
+        blocks of that many samples (block-static evolution — one Jakes
+        evaluation per block instead of per sample). Physically justified
+        whenever ``block_size * Ts`` is far below the coherence time
+        (e.g. one OFDM symbol at moderate Doppler); the default (None)
+        generates per-sample responses exactly like the reference
+        (fading.py:1071).
+
         SISO: signal ``(N,)`` -> output ``(N + memory,)``.
         MIMO: signal ``(Nt, N)`` -> output ``(Nr, N + memory)``
         (reversed when ``switched_direction``).
         """
-        if signal is None:
+        if signal is None or isinstance(signal, int):
+            if isinstance(signal, int):
+                block_size = signal
             signal = state_or_signal
             state = self._ensure_state()
-            out, ir, new_state = self._corrupt_data_impl(state, signal)
+            out, ir, new_state = self._corrupt_data_impl(state, signal,
+                                                         block_size)
             self._state = new_state
             self._last_impulse_response = ir
             return out
-        return self._corrupt_data_impl(state_or_signal, signal)
+        return self._corrupt_data_impl(state_or_signal, signal, block_size)
 
-    def _corrupt_data_impl(self, state, signal: CArray):
+    def _generate_ir_maybe_block_static(self, state, num_symbols: int,
+                                        block_size: Optional[int]):
+        """Per-sample IR, or block-static IR expanded to per-sample taps
+        (the expansion is a cheap broadcast; the Jakes trig shrinks by a
+        factor of ``block_size``)."""
+        if block_size is None:
+            return self.generate_impulse_response_f(state, num_symbols)
+        if num_symbols % block_size != 0:
+            raise ValueError(
+                "block_size must divide the number of transmitted samples")
+        num_blocks = num_symbols // block_size
+        ir_block, state = self._generate_strided_impulse_response(
+            state, num_blocks, stride=block_size)
+        taps = ir_block.tap_values_sparse  # (..., num_blocks)
+        shape = taps.shape[:-1] + (num_symbols,)
+        taps_full = CArray(
+            jnp.broadcast_to(taps.re[..., :, None],
+                             taps.shape + (block_size,)).reshape(shape),
+            jnp.broadcast_to(taps.im[..., :, None],
+                             taps.shape + (block_size,)).reshape(shape))
+        return TdlImpulseResponse(taps_full, self._channel_profile), state
+
+    def _corrupt_data_impl(self, state, signal: CArray,
+                           block_size: Optional[int] = None):
         signal = cplx.carray(signal)
         num_symbols = signal.shape[-1]
-        ir, state = self.generate_impulse_response_f(state, num_symbols)
+        mimo = len(self._fading_generator.shape) == 3
+        if block_size is not None and not mimo:
+            # SISO block-static fast path: per-block frequency-domain
+            # overlap-add convolution (one DFT matmul pair per block on
+            # the MXU; reads the signal once instead of once per tap).
+            if num_symbols % block_size != 0:
+                raise ValueError(
+                    "block_size must divide the number of transmitted "
+                    "samples")
+            num_blocks = num_symbols // block_size
+            ir_block, state = self._generate_strided_impulse_response(
+                state, num_blocks, stride=block_size)
+            out = tdl_filter_block_fft(ir_block, signal, block_size)
+            return out, ir_block, state
+        ir, state = self._generate_ir_maybe_block_static(
+            state, num_symbols, block_size)
         out = tdl_filter(ir, signal,
                          switched_direction=self.switched_direction)
         return out, ir, state
@@ -544,6 +594,64 @@ class TdlChannel:
         return self._last_impulse_response
 
 
+def tdl_filter_block_fft(ir_block: TdlImpulseResponse, signal: CArray,
+                         block_size: int) -> CArray:
+    """Block-static SISO TDL filtering via per-block frequency-domain
+    convolution (overlap-add).
+
+    Within a block the channel is constant, so the block's contribution is
+    a linear convolution of its ``block_size`` samples with the dense
+    ``D``-tap kernel. Computed exactly as a circular convolution of length
+    ``block_size + D - 1`` using the matmul-DFT (MXU), then overlap-added
+    across block boundaries (the ``D - 1``-sample halo). Identical output
+    to :func:`tdl_filter` with per-block-constant taps, at a fraction of
+    the HBM traffic (the per-tap shifted-add materializes the signal once
+    per tap).
+
+    ``ir_block``: sparse taps (T, num_blocks). ``signal``: (N,). Returns
+    (N + D - 1,).
+    """
+    idx = ir_block.tap_indexes_sparse
+    taps = ir_block.tap_values_sparse            # (T, nb)
+    D = int(idx[-1]) + 1
+    n = signal.shape[-1]
+    nb = n // block_size
+    L = block_size + D - 1                       # linear-conv length
+
+    x_blocks = signal.reshape(nb, block_size)
+    X = cfft.fft(x_blocks, n=L,
+                 precision=jax.lax.Precision.DEFAULT)        # (nb, L)
+    # Kernel spectrum straight from the sparse taps:
+    # H[b, k] = sum_i taps[i, b] exp(-2j pi k d_i / L)
+    k = np.arange(L)
+    phase = -2.0 * np.pi / L * np.outer(idx, k)
+    w = CArray(jnp.asarray(np.cos(phase), taps.dtype),
+               jnp.asarray(np.sin(phase), taps.dtype))       # (T, L)
+    H = cplx.matmul(taps.swapaxes(-1, -2), w)                # (nb, L)
+    Y = X * H
+    y = cfft.ifft(Y, precision=jax.lax.Precision.DEFAULT)    # (nb, L)
+
+    # Overlap-add: main parts concatenate; tails shift into the next block.
+    main = y[..., :block_size].reshape(nb * block_size)
+    tail = y[..., block_size:]                               # (nb, D-1)
+    pad_cols = block_size - (D - 1)
+    if pad_cols < 0:
+        raise ValueError("block_size must be at least the channel span")
+    tail_padded = CArray(
+        jnp.pad(tail.re, ((0, 0), (0, pad_cols))),
+        jnp.pad(tail.im, ((0, 0), (0, pad_cols)))).reshape(
+            nb * block_size)
+    out_re = jnp.pad(main.re, (0, D - 1))
+    out_im = jnp.pad(main.im, (0, D - 1))
+    out_re = out_re.at[block_size:block_size + nb * block_size].add(
+        tail_padded.re[:n + D - 1 - block_size]
+        if nb * block_size > n + D - 1 - block_size else tail_padded.re)
+    out_im = out_im.at[block_size:block_size + nb * block_size].add(
+        tail_padded.im[:n + D - 1 - block_size]
+        if nb * block_size > n + D - 1 - block_size else tail_padded.im)
+    return CArray(out_re, out_im)
+
+
 def tdl_filter(ir: TdlImpulseResponse, signal: CArray,
                switched_direction: bool = False) -> CArray:
     """Apply the (time-varying) sparse FIR defined by an impulse response.
@@ -609,10 +717,12 @@ class TdlMimoChannel(TdlChannel):
         super().__init__(fading_generator, channel_profile, tap_powers_dB,
                          tap_delays, Ts)
 
-    def _corrupt_data_impl(self, state, signal: CArray):
+    def _corrupt_data_impl(self, state, signal: CArray,
+                           block_size: Optional[int] = None):
         signal = cplx.carray(signal)
         num_symbols = signal.shape[-1]
-        ir, state = self.generate_impulse_response_f(state, num_symbols)
+        ir, state = self._generate_ir_maybe_block_static(
+            state, num_symbols, block_size)
         if self.switched_direction:
             # uplink: use H^T per tap (swap rx/tx axes of the taps)
             taps_t = ir.tap_values_sparse.transpose(0, 2, 1, 3)

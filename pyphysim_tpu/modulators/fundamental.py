@@ -109,7 +109,13 @@ class Modulator:
                 raise ValueError(
                     f"Input data must be between 0 and {self._M - 1}")
             return self._constellation[idx]
-        return self._constellation_dev[input_data]
+        # Device path: a gather over a small table is very slow on TPU;
+        # a one-hot contraction rides the VPU/MXU instead.
+        idx = input_data
+        onehot = (idx[..., None] == jnp.arange(self._M)).astype(jnp.float32)
+        table = self._constellation_dev
+        return CArray(jnp.sum(onehot * table.re, axis=-1),
+                      jnp.sum(onehot * table.im, axis=-1))
 
     def demodulate(self, received_data):
         """Nearest-neighbor hard decision: argmin_k |rx - c_k|.
@@ -274,6 +280,25 @@ class QAM(Modulator):
         index_matrix = (row << half_bits) + col[None, :]
         return index_matrix.reshape(L * L)
 
+    def modulate(self, input_data):
+        """Arithmetic QAM mapping (device fast path): the constellation
+        point of index ``(r << h) | c`` sits at grid position
+        ``(gray(r), gray(c))`` with ``gray(x) = x ^ (x >> 1)`` — so the
+        I/Q values come from a handful of integer ops (no table, no
+        gather, no one-hot)."""
+        if isinstance(input_data, (np.ndarray, int)):
+            return Modulator.modulate(self, input_data)
+        L = self._L
+        half_bits = level2bits(L * L) // 2
+        col = input_data & (L - 1)
+        row = input_data >> half_bits
+        jj = col ^ (col >> 1)  # gray code
+        ii = row ^ (row >> 1)
+        inv_scale = 1.0 / self._scale
+        re = (2 * jj - (L - 1)).astype(jnp.float32) * inv_scale
+        im = ((L - 1) - 2 * ii).astype(jnp.float32) * inv_scale
+        return CArray(re, im)
+
     def demodulate_hard(self, received_data: CArray) -> jnp.ndarray:
         """O(1)-per-symbol QAM slicer (TPU fast path).
 
@@ -291,8 +316,19 @@ class QAM(Modulator):
         row_pos = jnp.clip(jnp.round(
             ((L - 1) - received_data.im * self._scale) / 2.0),
             0, L - 1).astype(jnp.int32)
-        col_bits = self._pos_to_bits[col_pos]
-        row_bits = self._pos_to_bits[row_pos]
+        # Inverse Gray code computed arithmetically (gather-free):
+        # out = p ^ (p>>1) ^ (p>>2) ^ ... (xor-prefix), exact for any
+        # power-of-two L.
+        def inv_gray(p):
+            out = p
+            sh = 1
+            while sh < 8:
+                out = out ^ (out >> sh)
+                sh *= 2
+            return out
+
+        col_bits = inv_gray(col_pos)
+        row_bits = inv_gray(row_pos)
         return (row_bits << half_bits) | col_bits
 
     def _calcTheoreticalSingleCarrierErrorRate(self, SNR):

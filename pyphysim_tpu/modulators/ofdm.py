@@ -56,6 +56,11 @@ class OFDM:
         self.cp_size = int(cp_size)
         self.num_used_subcarriers = int(num_used_subcarriers)
         self._used_idx = jnp.asarray(self.get_used_subcarrier_indexes())
+        # MXU precision for the (I)DFT matmuls: HIGHEST = true fp32
+        # (default), HIGH = 3-pass bf16, DEFAULT = single-pass bf16
+        # (fastest, ~0.4% relative error).
+        import jax as _jax
+        self.precision = _jax.lax.Precision.HIGHEST
 
     # -- layout helpers (host, parity with ofdm.py:188-281) ---------------
 
@@ -120,13 +125,21 @@ class OFDM:
         n_sym = x.shape[-1] // self.num_used_subcarriers
         x = x.reshape(batch + (n_sym, self.num_used_subcarriers))
 
-        # Scatter onto the used bins of the spectrum.
-        spec_re = jnp.zeros(batch + (n_sym, self.fft_size), x.dtype)
-        spec = CArray(spec_re, spec_re)
-        spec = spec.at_set((..., self._used_idx), x)
+        # Map onto the used bins. The centered layout (data order: negative
+        # bins fft-half..fft-1 then positive bins 1..half) lets the
+        # spectrum be built from slices + zero blocks with ONE concatenate
+        # — scatters are slow on TPU.
+        half = self.num_used_subcarriers // 2
+        gap = self.fft_size - self.num_used_subcarriers - 1
+        zeros_dc = cplx.zeros(batch + (n_sym, 1), x.dtype)
+        zeros_gap = cplx.zeros(batch + (n_sym, gap), x.dtype)
+        x_neg = x[..., :half]    # -> bins fft-half .. fft-1
+        x_pos = x[..., half:]    # -> bins 1 .. half
+        spec = cplx.concatenate([zeros_dc, x_pos, zeros_gap, x_neg],
+                                axis=-1)
 
         scale = math.sqrt(self._calculate_power_scale())
-        td = cfft.ifft(spec) * scale
+        td = cfft.ifft(spec, precision=self.precision) * scale
         # Cyclic prefix: last cp samples prepended.
         if self.cp_size:
             td = cplx.concatenate([td[..., -self.cp_size:], td], axis=-1)
@@ -148,8 +161,12 @@ class OFDM:
         n_sym = y.shape[-1] // spb
         y = y[..., :n_sym * spb].reshape(batch + (n_sym, spb))
         y = y[..., self.cp_size:]
-        spec = cfft.fft(y) * (1.0 / math.sqrt(self._calculate_power_scale()))
-        data = spec[..., self._used_idx]
+        spec = cfft.fft(y, precision=self.precision) * \
+            (1.0 / math.sqrt(self._calculate_power_scale()))
+        # unmap = two static slices + concatenate (gather-free)
+        half = self.num_used_subcarriers // 2
+        data = cplx.concatenate([spec[..., self.fft_size - half:],
+                                 spec[..., 1:half + 1]], axis=-1)
         out = data.reshape(batch + (n_sym * self.num_used_subcarriers,))
         return out.to_numpy() if host else out
 
@@ -165,7 +182,10 @@ class OfdmOneTapEqualizer:
                        mean_freq_response: CArray) -> CArray:
         """``data``: (..., n_ofdm_symbols, num_used); ``mean_freq_response``:
         (..., n_ofdm_symbols, fft_size)."""
-        h = mean_freq_response[..., self._ofdm_obj._used_idx]
+        o = self._ofdm_obj
+        half = o.num_used_subcarriers // 2
+        h = cplx.concatenate([mean_freq_response[..., o.fft_size - half:],
+                              mean_freq_response[..., 1:half + 1]], axis=-1)
         return data / h
 
     def equalize_data(self, data, impulse_response) -> Union[CArray,
@@ -181,14 +201,32 @@ class OfdmOneTapEqualizer:
         n_sym = d.shape[-1] // used
         d = d.reshape(batch + (n_sym, used))
 
-        freq = impulse_response.get_freq_response(self._ofdm_obj.fft_size)
-        if isinstance(freq, np.ndarray):
-            freq = cplx.from_numpy(freq)
-        # (..., num_samples, fft_size) -> (..., n_sym, spb, fft_size)
-        fshape = freq.shape
-        freq = freq.reshape(fshape[:-2] + (n_sym, fshape[-2] // n_sym,
-                                           fshape[-1]))
-        mean_freq = freq.mean(axis=-2)
+        # The one-tap equalizer needs the MEAN frequency response per OFDM
+        # symbol. Since the DFT is linear, mean(FFT(taps)) == FFT(mean
+        # (taps)): average the (cheap, sparse) impulse-response taps per
+        # symbol FIRST and transform the tiny result — identical output to
+        # the reference's average-of-responses (ofdm.py:515-552) at a
+        # fraction of the FLOPs.
+        if hasattr(impulse_response, "tap_values_sparse") and \
+                impulse_response.num_samples % n_sym == 0:
+            from ..channels.fading import TdlImpulseResponse
+            taps = impulse_response.tap_values_sparse
+            spb = taps.shape[-1] // n_sym
+            taps_mean = taps.reshape(taps.shape[:-1] + (n_sym, spb)) \
+                .mean(axis=-1)
+            mean_ir = TdlImpulseResponse(
+                taps_mean, impulse_response.channel_profile)
+            mean_freq = mean_ir.get_freq_response(self._ofdm_obj.fft_size)
+        else:
+            freq = impulse_response.get_freq_response(
+                self._ofdm_obj.fft_size)
+            if isinstance(freq, np.ndarray):
+                freq = cplx.from_numpy(freq)
+            # (..., num_samples, fft) -> (..., n_sym, spb, fft) -> mean
+            fshape = freq.shape
+            freq = freq.reshape(fshape[:-2] + (n_sym, fshape[-2] // n_sym,
+                                               fshape[-1]))
+            mean_freq = freq.mean(axis=-2)
         eq = self._equalize_data(d, mean_freq)
         eq = eq.reshape(batch + (n_sym * used,))
         return eq.to_numpy() if host else eq

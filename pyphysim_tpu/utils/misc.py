@@ -86,6 +86,25 @@ def randn_c(key: jax.Array, *shape: int, dtype=jnp.float32):
     return CArray(both[0] * scale, both[1] * scale)
 
 
+def random_symbols(key: jax.Array, n: int, bits_per_symbol: int):
+    """``n`` uniform integers in [0, 2**bits_per_symbol) extracted from
+    packed uint32 random words — ~8x cheaper than ``jax.random.randint``
+    for 4-bit symbols (one threefry evaluation yields 32/bits symbols).
+
+    ``n`` must be a multiple of ``32 // bits_per_symbol``.
+    """
+    per_word = 32 // bits_per_symbol
+    if n % per_word != 0:
+        raise ValueError(
+            f"n must be a multiple of {per_word} for {bits_per_symbol}-bit "
+            "symbols")
+    words = jax.random.bits(key, (n // per_word,), dtype=jnp.uint32)
+    mask = (1 << bits_per_symbol) - 1
+    shifts = jnp.arange(per_word, dtype=jnp.uint32) * bits_per_symbol
+    sym = (words[:, None] >> shifts[None, :]) & mask
+    return sym.reshape(n).astype(jnp.int32)
+
+
 def randn_c_RS(rs: np.random.RandomState, *shape: int) -> np.ndarray:
     """Host-side circular complex normal from a numpy RandomState
     (parity with misc.py:358-389; used by host-only tests/tools)."""
