@@ -544,16 +544,38 @@ class TdlChannel:
         in channel time."""
         gen = self._fading_generator
         if isinstance(gen, JakesSampleGenerator):
-            # Closed form: evaluate at t_b = t0 + b*stride*Ts directly.
+            # Closed form z_b = exp(j(w(t0 + b stride Ts) + psi))
+            #            = z_0 * r^b with r = exp(j w stride Ts):
+            # evaluate TWO trig pairs per ray/tap and roll the powers out
+            # with an associative scan of unit-modulus complex products —
+            # log2(B) cheap multiply passes replace B trig evaluations.
             from .fading_generators import JakesState
-            t = state.t0 + (jnp.arange(num_blocks, dtype=state.t0.dtype)
-                            * (stride * gen.Ts))
-            w = 2.0 * np.pi * gen.Fd * jnp.cos(state.phi_l)
-            phase = w * t + state.psi_l
-            h = cplx.cexp(phase)
+            w = 2.0 * np.pi * gen.Fd * jnp.cos(state.phi_l[..., 0])
+            z0 = cplx.cexp(w * state.t0 + state.psi_l[..., 0])  # (L, taps)
+            r = cplx.cexp(w * (stride * gen.Ts))
+            seq = CArray(
+                jnp.concatenate(
+                    [z0.re[..., None],
+                     jnp.broadcast_to(r.re[..., None],
+                                      r.shape + (num_blocks - 1,))],
+                    axis=-1),
+                jnp.concatenate(
+                    [z0.im[..., None],
+                     jnp.broadcast_to(r.im[..., None],
+                                      r.shape + (num_blocks - 1,))],
+                    axis=-1)) if num_blocks > 1 else \
+                CArray(z0.re[..., None], z0.im[..., None])
+
+            def cmul(a, b):
+                ar, ai = a
+                br, bi = b
+                return (ar * br - ai * bi, ar * bi + ai * br)
+
+            hr, hi = jax.lax.associative_scan(cmul, (seq.re, seq.im),
+                                              axis=-1)
             scale = math.sqrt(1.0 / gen.L)
-            samples = CArray(jnp.sum(h.re, axis=0) * scale,
-                             jnp.sum(h.im, axis=0) * scale)
+            samples = CArray(jnp.sum(hr, axis=0) * scale,
+                             jnp.sum(hi, axis=0) * scale)
             new_state = JakesState(
                 phi_l=state.phi_l, psi_l=state.psi_l,
                 t0=state.t0 + num_blocks * stride * gen.Ts)
@@ -616,24 +638,33 @@ def tdl_filter_block_fft(ir_block: TdlImpulseResponse, signal: CArray,
     D = int(idx[-1]) + 1
     n = signal.shape[-1]
     nb = n // block_size
-    L = block_size + D - 1                       # linear-conv length
+    # circular length >= linear-conv length, rounded up to the 128-lane
+    # grid (unaligned DFT matmuls tile poorly on the MXU)
+    L = ((block_size + D - 1 + 127) // 128) * 128
 
     x_blocks = signal.reshape(nb, block_size)
-    X = cfft.fft(x_blocks, n=L,
-                 precision=jax.lax.Precision.DEFAULT)        # (nb, L)
-    # Kernel spectrum straight from the sparse taps:
-    # H[b, k] = sum_i taps[i, b] exp(-2j pi k d_i / L)
-    k = np.arange(L)
-    phase = -2.0 * np.pi / L * np.outer(idx, k)
-    w = CArray(jnp.asarray(np.cos(phase), taps.dtype),
-               jnp.asarray(np.sin(phase), taps.dtype))       # (T, L)
-    H = cplx.matmul(taps.swapaxes(-1, -2), w)                # (nb, L)
-    Y = X * H
-    y = cfft.ifft(Y, precision=jax.lax.Precision.DEFAULT)    # (nb, L)
+    if jax.default_backend() == "tpu":
+        # Pallas kernel: whole convolution in VMEM (read x, write y once).
+        from ..ops.fir_pallas import block_fir
+        y = block_fir(x_blocks, taps.swapaxes(-1, -2), idx.tolist(),
+                      block_size)                            # (nb, bs+D-1)
+    else:
+        # XLA path: per-block frequency-domain circular convolution.
+        X = cfft.fft(x_blocks, n=L,
+                     precision=jax.lax.Precision.DEFAULT)    # (nb, L)
+        # Kernel spectrum straight from the sparse taps:
+        # H[b, k] = sum_i taps[i, b] exp(-2j pi k d_i / L)
+        k = np.arange(L)
+        phase = -2.0 * np.pi / L * np.outer(idx, k)
+        w = CArray(jnp.asarray(np.cos(phase), taps.dtype),
+                   jnp.asarray(np.sin(phase), taps.dtype))   # (T, L)
+        H = cplx.matmul(taps.swapaxes(-1, -2), w)            # (nb, L)
+        Y = X * H
+        y = cfft.ifft(Y, precision=jax.lax.Precision.DEFAULT)  # (nb, L)
 
     # Overlap-add: main parts concatenate; tails shift into the next block.
     main = y[..., :block_size].reshape(nb * block_size)
-    tail = y[..., block_size:]                               # (nb, D-1)
+    tail = y[..., block_size:block_size + D - 1]             # (nb, D-1)
     pad_cols = block_size - (D - 1)
     if pad_cols < 0:
         raise ValueError("block_size must be at least the channel span")

@@ -1,0 +1,92 @@
+"""Tests for mesh-sharded Monte Carlo execution — the TPU-native
+replacement of the reference's ipyparallel path, validated on the virtual
+8-device CPU mesh (SURVEY §4: 'run the pjit program on a mocked/CPU
+mesh')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyphysim_tpu.parallel import make_mesh, shard_batch
+from pyphysim_tpu.simulations import Result, SimulationRunner
+
+
+class _BatchQpskRunner(SimulationRunner):
+    """Tiny QPSK/AWGN runner for parallel-vs-serial equivalence."""
+
+    def __init__(self):
+        super().__init__(read_command_line_args=False)
+        self.params.add("SNR", np.array([0.0, 10.0]))
+        self.params.set_unpack_parameter("SNR")
+        self.rep_max = 64
+        self.update_progress_function_style = None
+        self.batch_result_types = {"ber": Result.RATIOTYPE}
+
+    def _gen_simulation_kernel(self, cp):
+        from pyphysim_tpu.modulators import QPSK
+        from pyphysim_tpu.utils.conversion import dB2Linear
+        from pyphysim_tpu.utils.misc import count_bit_errors, randn_c
+        snr = dB2Linear(float(cp["SNR"]))
+        mod = QPSK()
+        n = 256
+
+        def kernel(key):
+            k1, k2 = jax.random.split(key)
+            data = jax.random.randint(k1, (n,), 0, 4)
+            rx = mod.modulate(data) + randn_c(k2, n) * jnp.sqrt(1 / snr)
+            return {"ber": (count_bit_errors(data, mod.demodulate(rx)),
+                            jnp.asarray(2 * n))}
+
+        return kernel
+
+
+class TestMeshHelpers:
+    def test_make_mesh(self):
+        mesh = make_mesh()
+        assert mesh.devices.size == jax.device_count()
+        assert mesh.axis_names == ("mc",)
+
+    def test_shard_batch(self):
+        mesh = make_mesh()
+        x = jnp.arange(jax.device_count() * 4)
+        sharded = shard_batch(mesh, x)
+        assert sharded.sharding.num_devices == jax.device_count()
+
+
+class TestParallelRunner:
+    def test_parallel_matches_serial(self):
+        assert jax.device_count() == 8  # conftest forces 8 CPU devices
+        serial = _BatchQpskRunner()
+        serial.batch_size = 64
+        serial.simulate()
+
+        parallel = _BatchQpskRunner()
+        parallel.batch_size = 64
+        parallel.simulate_in_parallel()
+        assert parallel.mesh is None  # reset after the run
+
+        # identical key schedule -> identical counters
+        assert serial.results.get_result_values_list("ber") == \
+            parallel.results.get_result_values_list("ber")
+
+    def test_parallel_sharding_actually_used(self):
+        runner = _BatchQpskRunner()
+        runner.batch_size = 64
+        mesh = make_mesh()
+        runner.simulate_in_parallel(mesh)
+        ber = runner.results.get_result_values_list("ber")
+        assert 0.05 < ber[0] < 0.25  # QPSK@0dB
+        assert ber[1] < ber[0]
+
+
+class TestGraftDryrun:
+    def test_dryrun_multichip_8(self):
+        import __graft_entry__ as g
+        g.dryrun_multichip(8)
+
+    def test_entry_compiles(self):
+        import __graft_entry__ as g
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert int(out) >= 0
