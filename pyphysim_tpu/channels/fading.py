@@ -683,6 +683,53 @@ def tdl_filter_block_fft(ir_block: TdlImpulseResponse, signal: CArray,
     return CArray(out_re, out_im)
 
 
+def tdl_filter_block_fft_mimo(ir_block: TdlImpulseResponse,
+                              signal: CArray, block_size: int) -> CArray:
+    """MIMO variant of :func:`tdl_filter_block_fft`.
+
+    ``ir_block``: sparse taps (T, Nr, Nt, num_blocks); ``signal``:
+    (Nt, N). Returns (Nr, N + D - 1). Per block the rx signal is
+    ``sum_t conv(x_t, h_{r,t})`` — computed as a frequency-domain product
+    contracted over transmit antennas.
+    """
+    idx = ir_block.tap_indexes_sparse
+    taps = ir_block.tap_values_sparse            # (T, Nr, Nt, nb)
+    D = int(idx[-1]) + 1
+    nt, n = signal.shape
+    nb = n // block_size
+    nr = taps.shape[1]
+    L = ((block_size + D - 1 + 127) // 128) * 128
+
+    x_blocks = signal.reshape(nt, nb, block_size)
+    X = cfft.fft(x_blocks, n=L,
+                 precision=jax.lax.Precision.DEFAULT)        # (Nt, nb, L)
+    k = np.arange(L)
+    phase = -2.0 * np.pi / L * np.outer(idx, k)
+    w = CArray(jnp.asarray(np.cos(phase), taps.dtype),
+               jnp.asarray(np.sin(phase), taps.dtype))       # (T, L)
+    # H[r, t, b, k] = sum_i taps[i, r, t, b] w[i, k]
+    H = cplx.einsum("irtb,ik->rtbk", taps, w)                # (Nr,Nt,nb,L)
+    # Y[r, b, k] = sum_t H[r, t, b, k] X[t, b, k]
+    Y = cplx.einsum("rtbk,tbk->rbk", H, X)
+    y = cfft.ifft(Y, precision=jax.lax.Precision.DEFAULT)    # (Nr, nb, L)
+
+    main = y[..., :block_size].reshape(nr, nb * block_size)
+    tail = y[..., block_size:block_size + D - 1]             # (Nr, nb, D-1)
+    pad_cols = block_size - (D - 1)
+    if pad_cols < 0:
+        raise ValueError("block_size must be at least the channel span")
+    tail_padded = CArray(
+        jnp.pad(tail.re, ((0, 0), (0, 0), (0, pad_cols))),
+        jnp.pad(tail.im, ((0, 0), (0, 0), (0, pad_cols)))).reshape(
+            (nr, nb * block_size))
+    out_re = jnp.pad(main.re, ((0, 0), (0, D - 1)))
+    out_im = jnp.pad(main.im, ((0, 0), (0, D - 1)))
+    seg = n + D - 1 - block_size
+    out_re = out_re.at[:, block_size:].add(tail_padded.re[:, :seg])
+    out_im = out_im.at[:, block_size:].add(tail_padded.im[:, :seg])
+    return CArray(out_re, out_im)
+
+
 def tdl_filter(ir: TdlImpulseResponse, signal: CArray,
                switched_direction: bool = False) -> CArray:
     """Apply the (time-varying) sparse FIR defined by an impulse response.
@@ -752,8 +799,23 @@ class TdlMimoChannel(TdlChannel):
                            block_size: Optional[int] = None):
         signal = cplx.carray(signal)
         num_symbols = signal.shape[-1]
-        ir, state = self._generate_ir_maybe_block_static(
-            state, num_symbols, block_size)
+        if block_size is not None:
+            if num_symbols % block_size != 0:
+                raise ValueError(
+                    "block_size must divide the number of transmitted "
+                    "samples")
+            nb = num_symbols // block_size
+            ir_block, state = self._generate_strided_impulse_response(
+                state, nb, stride=block_size)
+            taps = ir_block.tap_values_sparse
+            if self.switched_direction:
+                taps = taps.transpose(0, 2, 1, 3)
+                ir_use = TdlImpulseResponse(taps, self._channel_profile)
+            else:
+                ir_use = ir_block
+            out = tdl_filter_block_fft_mimo(ir_use, signal, block_size)
+            return out, ir_block, state
+        ir, state = self.generate_impulse_response_f(state, num_symbols)
         if self.switched_direction:
             # uplink: use H^T per tap (swap rx/tx axes of the taps)
             taps_t = ir.tap_values_sparse.transpose(0, 2, 1, 3)

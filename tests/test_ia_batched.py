@@ -1,0 +1,97 @@
+"""Tests for the batched jittable Max-SINR IA kernel: agreement with the
+host solver's physics and vmap/jit behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyphysim_tpu.ia.batched import (calc_sinrs, max_sinr_solve,
+                                     random_unit_precoders, sum_capacity)
+from pyphysim_tpu.ops import cplx
+from pyphysim_tpu.utils.misc import randn_c
+
+
+def make_H(key, K=3, Nr=2, Nt=2):
+    return randn_c(key, K, K, Nr, Nt)
+
+
+class TestBatchedMaxSinr:
+    def test_alignment_quality(self):
+        # max-SINR must push leakage well below signal power
+        H = make_H(jax.random.PRNGKey(0))
+        F, U = max_sinr_solve(H, jax.random.PRNGKey(1), Ns=1, P=1.0,
+                              noise_var=1e-3, iterations=40)
+        sig = leak = 0.0
+        for k in range(3):
+            hf_kk = cplx.matmul(H[k, k], F[k])
+            sig += float(np.sum(np.abs(
+                (cplx.matmul(U[k].mH, hf_kk)).to_numpy()) ** 2))
+            for j in range(3):
+                if j != k:
+                    hf = cplx.matmul(H[k, j], F[j])
+                    leak += float(np.sum(np.abs(
+                        (cplx.matmul(U[k].mH, hf)).to_numpy()) ** 2))
+        assert leak < 0.05 * sig
+
+    def test_capacity_grows_with_power(self):
+        H = make_H(jax.random.PRNGKey(2))
+        caps = []
+        for P in (0.1, 1.0, 10.0):
+            F, U = max_sinr_solve(H, jax.random.PRNGKey(3), Ns=1, P=P,
+                                  noise_var=0.1, iterations=30)
+            caps.append(float(sum_capacity(
+                calc_sinrs(H, F, U, 0.1, P))))
+        assert caps[0] < caps[1] < caps[2]
+
+    def test_vmap_jit_sweep(self):
+        # a whole Monte Carlo sum-capacity sweep as one jitted program
+        batch = 8
+
+        @jax.jit
+        def sweep(keys, P):
+            def one(key):
+                k1, k2 = jax.random.split(key)
+                H = make_H(k1)
+                F, U = max_sinr_solve(H, k2, Ns=1, P=P,
+                                      noise_var=0.1, iterations=15)
+                return sum_capacity(calc_sinrs(H, F, U, 0.1, P))
+
+            return jax.vmap(one)(keys)
+
+        keys = jax.random.split(jax.random.PRNGKey(4), batch)
+        caps = np.asarray(sweep(keys, 1.0))
+        assert caps.shape == (batch,)
+        assert np.all(caps > 0)
+        assert np.std(caps) > 0  # different channels -> different capacity
+
+    def test_matches_host_solver_physics(self):
+        # batched kernel and host MaxSinrIASolver should land at similar
+        # sum capacities for the same channel (both local optima of the
+        # same objective; tolerance is loose)
+        from pyphysim_tpu.channels import MultiUserChannelMatrix
+        from pyphysim_tpu.ia import MaxSinrIASolver
+
+        mu = MultiUserChannelMatrix()
+        mu.set_channel_seed(5)
+        mu.randomize(2, 2, 3)
+        mu.noise_var = 0.1
+        solver = MaxSinrIASolver(mu)
+        solver.max_iterations = 60
+        solver.solve(Ns=1, P=1.0)
+        host_cap = solver.calc_sum_capacity()
+
+        # same big_H into the batched kernel
+        bigH = mu.big_H
+        K, nr, nt = 3, 2, 2
+        H = bigH.reshape(K, nr, K, nt).swapaxes(1, 2)
+        F, U = max_sinr_solve(H, jax.random.PRNGKey(6), Ns=1, P=1.0,
+                              noise_var=0.1, iterations=60)
+        dev_cap = float(sum_capacity(calc_sinrs(H, F, U, 0.1, 1.0)))
+        assert abs(dev_cap - host_cap) / host_cap < 0.2, \
+            (dev_cap, host_cap)
+
+    def test_random_precoders_normalized(self):
+        F = random_unit_precoders(jax.random.PRNGKey(0), 3, 4, 2)
+        assert F.shape == (3, 4, 2)
+        norms = np.sqrt(np.sum(np.abs(F.to_numpy()) ** 2, axis=(1, 2)))
+        assert np.allclose(norms, 1.0, atol=1e-5)
