@@ -28,7 +28,7 @@ from typing import Any, List, Optional
 from ..utils.misc import pretty_time
 
 __all__ = ["DummyProgressbar", "ProgressBarBase", "ProgressbarText",
-           "ProgressbarText2", "ProgressbarText3",
+           "ProgressbarText2", "ProgressbarText3", "ProgressBarIPython",
            "ProgressbarDistributedServerBase", "ProgressbarZMQServer",
            "ProgressbarZMQClient", "ProgressbarMultiProcessServer"]
 
@@ -186,6 +186,32 @@ class ProgressbarText3(ProgressBarBase):
             self._output.flush()
         except Exception:
             pass
+
+
+class ProgressBarIPython(ProgressBarBase):
+    """ipywidgets progress bar for notebooks (parity:
+    progressbar.py:1009-1088). Requires ipywidgets; falls back to a text
+    bar when unavailable."""
+
+    def __init__(self, finalcount: int, message: str = "") -> None:
+        super().__init__(finalcount)
+        self.message = message
+        try:
+            import ipywidgets
+            from IPython.display import display
+            self._widget = ipywidgets.FloatProgress(
+                min=0, max=100, description=message)
+            display(self._widget)
+            self._fallback = None
+        except Exception:
+            self._widget = None
+            self._fallback = ProgressbarText2(finalcount, message=message)
+
+    def _display_current_progress(self) -> None:
+        if self._widget is not None:
+            self._widget.value = self.percent
+        else:
+            self._fallback.progress(self._count)
 
 
 # ---------------------------------------------------------------------------

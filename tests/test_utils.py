@@ -290,3 +290,31 @@ class TestSerialize:
         y = serialize.loads(serialize.dumps(x))
         assert np.allclose(y, x)
         assert y.dtype == np.complex64
+
+
+class TestSeedReplay:
+    def test_capture_and_replay(self, tmp_path):
+        import jax
+        from pyphysim_tpu.utils.testing import SeedReplay
+
+        folder = str(tmp_path / "replays")
+        # first run fails -> keys captured
+        try:
+            with SeedReplay("t.pickle", folder=folder) as sr:
+                k = sr.key("chan", jax.random.PRNGKey(7))
+                s = sr.seed("noise", 42)
+                raise AssertionError("boom")
+        except AssertionError:
+            pass
+        import os
+        assert os.path.exists(os.path.join(folder, "t.pickle"))
+
+        # second run replays the SAME keys
+        with SeedReplay("t.pickle", folder=folder) as sr:
+            assert sr.replaying
+            k2 = sr.key("chan", jax.random.PRNGKey(999))
+            s2 = sr.seed("noise", 1)
+            assert np.array_equal(np.asarray(k2), np.asarray(k))
+            assert s2 == 42
+        # success removed the replay file
+        assert not os.path.exists(os.path.join(folder, "t.pickle"))
