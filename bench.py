@@ -55,11 +55,18 @@ def bench_ofdm_tdl() -> float:
                                 jnp.arange(iters))
         return total
 
+    # rbg keys use the TPU hardware RNG (faster than threefry here)
+    def make_key(seed):
+        try:
+            return jax.random.key(seed, impl="rbg")
+        except TypeError:  # older jax
+            return jax.random.PRNGKey(seed)
+
     # compile + warm up (forces one real round trip)
-    int(run_many(jax.random.PRNGKey(0)))
+    int(run_many(make_key(0)))
 
     t0 = time.perf_counter()
-    total_errors = int(run_many(jax.random.PRNGKey(1)))
+    total_errors = int(run_many(make_key(1)))
     dt = time.perf_counter() - t0
 
     # sanity: BER at 15 dB for this chain is ~0.037; a wildly different

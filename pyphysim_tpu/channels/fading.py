@@ -662,24 +662,20 @@ def tdl_filter_block_fft(ir_block: TdlImpulseResponse, signal: CArray,
         Y = X * H
         y = cfft.ifft(Y, precision=jax.lax.Precision.DEFAULT)  # (nb, L)
 
-    # Overlap-add: main parts concatenate; tails shift into the next block.
-    main = y[..., :block_size].reshape(nb * block_size)
-    tail = y[..., block_size:block_size + D - 1]             # (nb, D-1)
-    pad_cols = block_size - (D - 1)
-    if pad_cols < 0:
+    # Overlap-add: block b's tail (D-1 samples) lands at the head of
+    # block b+1 — a narrow strip update on the blocked view, then one
+    # concatenate for the final tail. (A full-width padded-tail add costs
+    # several whole-array passes; this touches only nb x (D-1) values.)
+    if block_size < D - 1:
         raise ValueError("block_size must be at least the channel span")
-    tail_padded = CArray(
-        jnp.pad(tail.re, ((0, 0), (0, pad_cols))),
-        jnp.pad(tail.im, ((0, 0), (0, pad_cols)))).reshape(
-            nb * block_size)
-    out_re = jnp.pad(main.re, (0, D - 1))
-    out_im = jnp.pad(main.im, (0, D - 1))
-    out_re = out_re.at[block_size:block_size + nb * block_size].add(
-        tail_padded.re[:n + D - 1 - block_size]
-        if nb * block_size > n + D - 1 - block_size else tail_padded.re)
-    out_im = out_im.at[block_size:block_size + nb * block_size].add(
-        tail_padded.im[:n + D - 1 - block_size]
-        if nb * block_size > n + D - 1 - block_size else tail_padded.im)
+    main = y[..., :block_size]                               # (nb, bs)
+    tail = y[..., block_size:block_size + D - 1]             # (nb, D-1)
+    main_re = main.re.at[1:, :D - 1].add(tail.re[:-1])
+    main_im = main.im.at[1:, :D - 1].add(tail.im[:-1])
+    out_re = jnp.concatenate([main_re.reshape(nb * block_size),
+                              tail.re[-1]])
+    out_im = jnp.concatenate([main_im.reshape(nb * block_size),
+                              tail.im[-1]])
     return CArray(out_re, out_im)
 
 
@@ -713,20 +709,16 @@ def tdl_filter_block_fft_mimo(ir_block: TdlImpulseResponse,
     Y = cplx.einsum("rtbk,tbk->rbk", H, X)
     y = cfft.ifft(Y, precision=jax.lax.Precision.DEFAULT)    # (Nr, nb, L)
 
-    main = y[..., :block_size].reshape(nr, nb * block_size)
-    tail = y[..., block_size:block_size + D - 1]             # (Nr, nb, D-1)
-    pad_cols = block_size - (D - 1)
-    if pad_cols < 0:
+    if block_size < D - 1:
         raise ValueError("block_size must be at least the channel span")
-    tail_padded = CArray(
-        jnp.pad(tail.re, ((0, 0), (0, 0), (0, pad_cols))),
-        jnp.pad(tail.im, ((0, 0), (0, 0), (0, pad_cols)))).reshape(
-            (nr, nb * block_size))
-    out_re = jnp.pad(main.re, ((0, 0), (0, D - 1)))
-    out_im = jnp.pad(main.im, ((0, 0), (0, D - 1)))
-    seg = n + D - 1 - block_size
-    out_re = out_re.at[:, block_size:].add(tail_padded.re[:, :seg])
-    out_im = out_im.at[:, block_size:].add(tail_padded.im[:, :seg])
+    main = y[..., :block_size]                               # (Nr, nb, bs)
+    tail = y[..., block_size:block_size + D - 1]             # (Nr, nb, D-1)
+    main_re = main.re.at[:, 1:, :D - 1].add(tail.re[:, :-1])
+    main_im = main.im.at[:, 1:, :D - 1].add(tail.im[:, :-1])
+    out_re = jnp.concatenate([main_re.reshape(nr, nb * block_size),
+                              tail.re[:, -1]], axis=-1)
+    out_im = jnp.concatenate([main_im.reshape(nr, nb * block_size),
+                              tail.im[:, -1]], axis=-1)
     return CArray(out_re, out_im)
 
 
