@@ -40,7 +40,8 @@ def bench_ofdm_tdl() -> float:
     snr_db = 15.0
     step = g._make_chain_step(num_symbols=num_symbols, fft_size=512,
                               cp_size=52, num_used=300, block_static=True,
-                              precision=jax.lax.Precision.DEFAULT)
+                              precision=jax.lax.Precision.DEFAULT,
+                              signal_dtype=jnp.bfloat16)
 
     snrs = jnp.full((batch,), 10 ** (snr_db / 10.0))
     iters = 30

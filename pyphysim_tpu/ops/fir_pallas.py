@@ -68,8 +68,9 @@ def block_fir(x_blocks: CArray, taps: CArray,
 
     xr = jnp.pad(x_blocks.re, ((0, 0), (0, in_w - block_size)))
     xi = jnp.pad(x_blocks.im, ((0, 0), (0, in_w - block_size)))
-    tr = jnp.pad(taps.re, ((0, 0), (0, taps_w - ntaps)))
-    ti = jnp.pad(taps.im, ((0, 0), (0, taps_w - ntaps)))
+    dt = x_blocks.dtype
+    tr = jnp.pad(taps.re.astype(dt), ((0, 0), (0, taps_w - ntaps)))
+    ti = jnp.pad(taps.im.astype(dt), ((0, 0), (0, taps_w - ntaps)))
 
     grid = (R // _ROW_TILE,) if R % _ROW_TILE == 0 else \
         ((R + _ROW_TILE - 1) // _ROW_TILE,)
