@@ -35,7 +35,14 @@ def get_shifted_root_seq(root_seq: np.ndarray, n_cs: int,
 
 
 def get_extended_ZF(root_seq: np.ndarray, size: int) -> np.ndarray:
-    """Cyclically extend ``root_seq`` to ``size`` elements."""
+    """Cyclically extend ``root_seq`` to ``size`` elements.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> get_extended_ZF(np.array([1, 2, 3, 4, 5]), 8)
+    array([1, 2, 3, 4, 5, 1, 2, 3])
+    """
     n = root_seq.size
     reps = size // n + 1
     return np.tile(root_seq, reps)[:size]

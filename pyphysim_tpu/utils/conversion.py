@@ -32,7 +32,15 @@ __all__ = [
 
 
 def dB2Linear(value_in_dB: NumberOrArray) -> NumberOrArray:
-    """Convert a power value from decibels to linear scale."""
+    """Convert a power value from decibels to linear scale.
+
+    Examples
+    --------
+    >>> float(dB2Linear(30.0))
+    1000.0
+    >>> float(dB2Linear(0.0))
+    1.0
+    """
     return 10.0 ** (np.asarray(value_in_dB) / 10.0) if _is_host(
         value_in_dB) else 10.0 ** (value_in_dB / 10.0)
 
@@ -57,7 +65,14 @@ def linear2dBm(value_in_linear: NumberOrArray) -> NumberOrArray:
 
 
 def binary2gray(num: NumberOrArray) -> NumberOrArray:
-    """Binary-reflected Gray code of integer(s): ``n ^ (n >> 1)``."""
+    """Binary-reflected Gray code of integer(s): ``n ^ (n >> 1)``.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> binary2gray(np.arange(4))
+    array([0, 1, 3, 2])
+    """
     return num ^ (num >> 1)
 
 

@@ -159,8 +159,13 @@ def count_bit_errors(first, second, axis=None):
 
 
 def level2bits(n: int) -> int:
-    """Bits needed to represent ``n`` symbols / levels (misc.py:392-416):
-    e.g. level2bits(4) == 2, level2bits(16) == 4."""
+    """Bits needed to represent ``n`` symbols / levels (misc.py:392-416).
+
+    Examples
+    --------
+    >>> [level2bits(m) for m in (2, 4, 16, 256)]
+    [1, 2, 4, 8]
+    """
     if n < 1:
         raise ValueError("level2bits: n must be a positive integer")
     return int2bits(n - 1)
@@ -438,7 +443,15 @@ def calc_shannon_sum_capacity(sinrs):
 
 
 def pretty_time(time_in_seconds: float) -> str:
-    """Human-readable elapsed time, e.g. ``'3m:15s'`` (misc.py:258-294)."""
+    """Human-readable elapsed time (misc.py:258-294).
+
+    Examples
+    --------
+    >>> pretty_time(65)
+    '1m:05s'
+    >>> pretty_time(3723)
+    '1h:02m:03s'
+    """
     seconds = float(time_in_seconds)
     minutes = int(seconds // 60)
     seconds_int = int(round(seconds % 60))
