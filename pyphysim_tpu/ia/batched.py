@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from ..ops import cplx
 from ..ops.cplx import CArray
 
-__all__ = ["max_sinr_solve", "calc_sinrs", "sum_capacity",
+__all__ = ["max_sinr_solve", "min_leakage_solve", "mmse_solve",
+           "calc_sinrs", "sum_capacity", "calc_leakage",
            "random_unit_precoders"]
 
 
@@ -114,6 +115,179 @@ def max_sinr_solve(H: CArray, key: jax.Array, Ns: int = 1,
 
     F, _ = jax.lax.scan(body, F, jnp.arange(iterations))
     U = _update_filters(H, F, noise_var, p_vec, Ns)
+    return F, U
+
+
+def _interference_covariances(H: CArray, F: CArray, P, Ns: int) -> CArray:
+    """Qk = sum_{j != k} (P_j/Ns) H_kj F_j F_j^H H_kj^H, stacked (K, Nr, Nr).
+
+    The reference's ``IASolverBaseClass.calc_Q`` (iabase.py) — interference
+    covariance seen at each receiver, excluding the own-signal term.
+    """
+    K = H.shape[0]
+    qs = []
+    for k in range(K):
+        Nr = H.shape[2]
+        q = cplx.zeros((Nr, Nr), dtype=H.re.dtype)
+        for j in range(K):
+            if j == k:
+                continue
+            hf = cplx.matmul(H[k, j], F[j])
+            gram = cplx.matmul(hf, hf.mH)
+            scale = P[j] / Ns
+            q = q + CArray(gram.re * scale, gram.im * scale)
+        qs.append(q)
+    return cplx.stack(qs, axis=0)
+
+
+def calc_leakage(H: CArray, F: CArray, U: CArray,
+                 P: float = 1.0) -> jnp.ndarray:
+    """Total interference leakage ``sum_k tr(U_k^H Q_k U_k)`` (real).
+
+    The cost minimized by the reference's MinLeakageIASolver
+    (algorithms.py:1132-1241, ``get_cost``)."""
+    K = H.shape[0]
+    Ns = F.shape[-1]
+    p_vec = jnp.full((K,), P)
+    Q = _interference_covariances(H, F, p_vec, Ns)
+    total = 0.0
+    for k in range(K):
+        m = cplx.matmul(U[k].mH, cplx.matmul(Q[k], U[k]))
+        total = total + jnp.trace(m.re, axis1=-2, axis2=-1)
+    return total
+
+
+def min_leakage_solve(H: CArray, key: jax.Array, Ns: int = 1,
+                      P: float = 1.0,
+                      iterations: int = 20) -> Tuple[CArray, CArray]:
+    """Fixed-iteration Min-Leakage IA ([Cadambe2008] alg. 1).
+
+    Behavioral counterpart of the reference's MinLeakageIASolver
+    (algorithms.py:1132-1241): receive filters are the ``Ns`` least
+    dominant eigenvectors of the interference covariance ``Q_k``;
+    precoders come from the same update in the reverse network
+    (``H_rev[k, l] = H[l, k]^H``). Noise does not enter the cost.
+
+    ``H``: (K, K, Nr, Nt) CArray. Returns ``(F, U)`` like
+    :func:`max_sinr_solve`; vmap over leading axes for batches.
+    """
+    K = H.shape[0]
+    p_vec = jnp.full((K,), P)
+    F = random_unit_precoders(key, K, int(H.shape[3]), Ns)
+    Hrev = cplx.stack([
+        cplx.stack([H[l, k].mH for l in range(K)], axis=0)
+        for k in range(K)], axis=0)
+
+    def least_eigvecs(Hdir: CArray, F_cur: CArray) -> CArray:
+        Q = _interference_covariances(Hdir, F_cur, p_vec, Ns)
+        us = []
+        for k in range(K):
+            _, v = cplx.eigh(Q[k])               # ascending eigenvalues
+            us.append(_normalize_fro(v[..., :Ns]))
+        return cplx.stack(us, axis=0)
+
+    def body(carry, _):
+        F_cur = carry
+        U = least_eigvecs(H, F_cur)
+        F_new = least_eigvecs(Hrev, U)
+        return F_new, 0
+
+    F, _ = jax.lax.scan(body, F, jnp.arange(iterations))
+    U = least_eigvecs(H, F)
+    return F, U
+
+
+def _mmse_precoder(A: CArray, rhs: CArray, P,
+                   bisect_iters: int = 40) -> CArray:
+    """``V = (A + mu I)^-1 rhs`` with the smallest ``mu >= 0`` such that
+    ``||V||_F^2 <= P`` ([Peters2011] power-constrained MMSE precoder,
+    reference algorithms.py:1660-1825 ``_calc_Vi``).
+
+    The reference finds ``mu`` with scipy Newton; here the Hermitian PSD
+    ``A = Q diag(lam) Q^H`` is eigendecomposed once, so
+    ``||V(mu)||^2 = sum |b_ns|^2 / (lam_n + mu)^2`` with ``b = Q^H rhs``
+    is an explicit monotone-decreasing scalar function and a
+    fixed-iteration bisection is exact to machine precision — fully
+    jittable, no data-dependent control flow.
+    """
+    lam, q = cplx.eigh(A)                        # ascending, (N,), (N, N)
+    b = cplx.matmul(q.mH, rhs)                   # (N, Ns)
+    b2 = b.abs2()                                # |b|^2, (N, Ns)
+    lam = jnp.clip(lam, 0.0)
+
+    def norm2(mu):
+        d = (lam + mu)[..., :, None]
+        return jnp.sum(b2 / (d * d), axis=(-2, -1))
+
+    # ||V(mu)||^2 <= sum(b2)/mu^2, so this mu_hi guarantees norm2 <= P
+    mu_hi = jnp.sqrt(jnp.sum(b2, axis=(-2, -1)) / P) + 1e-12
+    mu_lo = jnp.zeros_like(mu_hi)
+
+    def bisect(carry, _):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        too_big = norm2(mid) > P
+        return (jnp.where(too_big, mid, lo), jnp.where(too_big, hi, mid)), 0
+
+    (_, mu), _ = jax.lax.scan(bisect, (mu_lo, mu_hi),
+                              jnp.arange(bisect_iters))
+    # mu = 0 when the unconstrained solution already satisfies the power
+    mu = jnp.where(norm2(0.0) <= P, 0.0, mu)
+    d = 1.0 / (lam + mu)[..., :, None]
+    return cplx.matmul(q, CArray(b.re * d, b.im * d))
+
+
+def mmse_solve(H: CArray, key: jax.Array, Ns: int = 1, P: float = 1.0,
+               noise_var: float = 0.1,
+               iterations: int = 20) -> Tuple[CArray, CArray]:
+    """Fixed-iteration MMSE interference alignment ([Peters2011]).
+
+    Behavioral counterpart of the reference's MMSEIASolver
+    (algorithms.py:1510-1847): receive filters
+    ``U_k = (sum_i H_ki V_i V_i^H H_ki^H + noise I)^-1 H_kk V_k`` and
+    power-constrained MMSE precoders
+    ``V_i = (sum_k H_ki^H U_k U_k^H H_ki + mu_i I)^-1 H_ii^H U_i``.
+
+    ``H``: (K, K, Nr, Nt) CArray. Returns ``(F, U)`` where ``F`` is the
+    FULL (power-scaled, ||F_i||^2 <= P) precoder and ``U`` the MMSE
+    receive filter (not normalized — it includes the MMSE scaling).
+    vmap over leading axes for Monte Carlo batches.
+    """
+    K = H.shape[0]
+    Nr, Nt = int(H.shape[2]), int(H.shape[3])
+    F0 = random_unit_precoders(key, K, Nt, Ns)
+    F = CArray(F0.re * jnp.sqrt(P), F0.im * jnp.sqrt(P))  # full precoders
+
+    eye_nr = cplx.eye(Nr)
+
+    def update_U(F_cur: CArray) -> CArray:
+        us = []
+        for k in range(K):
+            cov = CArray(noise_var * eye_nr.re, eye_nr.im * 0.0)
+            for i in range(K):
+                hv = cplx.matmul(H[k, i], F_cur[i])
+                cov = cov + cplx.matmul(hv, hv.mH)
+            us.append(cplx.solve(cov, cplx.matmul(H[k, k], F_cur[k])))
+        return cplx.stack(us, axis=0)
+
+    def update_F(U: CArray) -> CArray:
+        vs = []
+        for i in range(K):
+            a = cplx.zeros((Nt, Nt), dtype=H.re.dtype)
+            for k in range(K):
+                hu = cplx.matmul(H[k, i].mH, U[k])
+                a = a + cplx.matmul(hu, hu.mH)
+            rhs = cplx.matmul(H[i, i].mH, U[i])
+            vs.append(_mmse_precoder(a, rhs, P))
+        return cplx.stack(vs, axis=0)
+
+    def body(carry, _):
+        F_cur = carry
+        U = update_U(F_cur)
+        return update_F(U), 0
+
+    F, _ = jax.lax.scan(body, F, jnp.arange(iterations))
+    U = update_U(F)
     return F, U
 
 

@@ -441,15 +441,15 @@ def svd(a: CArray, full_matrices: bool = False):
     matrices); it avoids doubled-singular-value bookkeeping of the real
     embedding SVD.
 
-    For m < n matrices the Gram matrix of the adjoint is used.
-    ``full_matrices=True`` is only supported for square inputs.
+    For m < n matrices the Gram matrix of the adjoint is used. With
+    ``full_matrices=True`` on a rectangular input the short basis is
+    completed with an orthonormal basis of the orthogonal complement
+    (eigenvectors of the projector ``I - U U^H`` at eigenvalue 1); the
+    order and phase of those null-space columns is arbitrary, as in
+    LAPACK.
     """
     a = _coerce(a)
     m, n = a.shape[-2], a.shape[-1]
-    if full_matrices and m != n:
-        raise NotImplementedError(
-            "cplx.svd(full_matrices=True) requires square input; "
-            "use the real-embedding route if you need full bases")
     if m >= n:
         g = matmul(a.mH, a)                      # (n, n) Hermitian PSD
         w, v = eigh(g)                           # ascending
@@ -459,6 +459,8 @@ def svd(a: CArray, full_matrices: bool = False):
         u = matmul(a, v)                         # A v_k = s_k u_k
         s_safe = jnp.maximum(s, 1e-30)
         u = CArray(u.re / s_safe[..., None, :], u.im / s_safe[..., None, :])
+        if full_matrices and m > n:
+            u = _complete_columns(u, s, m)
         return u, s, v.mH
     g = matmul(a, a.mH)                          # (m, m)
     w, u = eigh(g)
@@ -468,7 +470,42 @@ def svd(a: CArray, full_matrices: bool = False):
     v = matmul(a.mH, u)                          # A^H u_k = s_k v_k
     s_safe = jnp.maximum(s, 1e-30)
     v = CArray(v.re / s_safe[..., None, :], v.im / s_safe[..., None, :])
+    if full_matrices:
+        v = _complete_columns(v, s, n)
     return u, s, v.mH
+
+
+def _complete_columns(u: CArray, s: jnp.ndarray, m: int) -> CArray:
+    """Extend the thin factor ``u`` (..., m, k) to a full unitary
+    ``(..., m, m)`` basis, repairing near-zero-singular-value columns.
+
+    The Gram route leaves ``u``'s column ``l`` meaningless when
+    ``s_l ~ 0`` (it is ``A v_l / max(s_l, eps)``). Those columns and the
+    ``m - k`` missing ones are all filled from the eigenvalue-1
+    eigenvectors of the projector ``P = I - u_valid u_valid^H``: with
+    ascending ``eigh``, eigenvalue 0 occupies the first ``rank``
+    positions, so position ``j >= rank`` holds a complement vector —
+    exactly the positions needing fill (zero singular values sort last).
+    The per-column select is static-shape; rank never needs to be known
+    at trace time. A final QR polish removes the O(1e-3) f32 cross-terms
+    of eigh's degeneracy tie-break.
+    """
+    k = u.shape[-1]
+    s_max = jnp.max(s, axis=-1, keepdims=True)
+    valid = s > s_max * 1e-4                     # (..., k)
+    um = CArray(u.re * valid[..., None, :], u.im * valid[..., None, :])
+    p = eye(m, dtype=u.re.dtype) - matmul(um, um.mH)
+    _, vecs = eigh(p)                            # ascending eigenvalues
+    pad = m - k
+    if pad:
+        z = jnp.zeros(um.re.shape[:-1] + (pad,), um.re.dtype)
+        um = CArray(jnp.concatenate([um.re, z], axis=-1),
+                    jnp.concatenate([um.im, z], axis=-1))
+        valid = jnp.concatenate(
+            [valid, jnp.zeros(valid.shape[:-1] + (pad,), bool)], axis=-1)
+    out = where(valid[..., None, :], um, vecs)
+    q, _ = qr(out)
+    return q
 
 
 def qr(a: CArray):

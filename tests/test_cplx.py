@@ -182,6 +182,33 @@ class TestLinalg:
             u.to_numpy() @ np.diag(np.asarray(s)) @ vh.to_numpy(), a,
             atol=3e-2)
 
+    def test_svd_full_matrices_tall(self):
+        a = rand_c((6, 4), 21)
+        u, s, vh = cplx.svd(as_c(a), full_matrices=True)
+        U, VH = u.to_numpy(), vh.to_numpy()
+        assert U.shape == (6, 6) and VH.shape == (4, 4)
+        # full unitary basis and exact reconstruction from the thin part
+        assert np.allclose(U.conj().T @ U, np.eye(6), atol=1e-3)
+        assert np.allclose(U[:, :4] @ np.diag(np.asarray(s)) @ VH, a,
+                           atol=3e-2)
+
+    def test_svd_full_matrices_wide(self):
+        a = rand_c((3, 5), 22)
+        u, s, vh = cplx.svd(as_c(a), full_matrices=True)
+        U, VH = u.to_numpy(), vh.to_numpy()
+        assert U.shape == (3, 3) and VH.shape == (5, 5)
+        assert np.allclose(VH @ VH.conj().T, np.eye(5), atol=1e-3)
+        assert np.allclose(U @ np.diag(np.asarray(s)) @ VH[:3], a,
+                           atol=3e-2)
+
+    def test_svd_full_matrices_batched(self):
+        a = rand_c((4, 5, 2), 23)
+        u, s, vh = cplx.svd(as_c(a), full_matrices=True)
+        U = u.to_numpy()
+        assert U.shape == (4, 5, 5)
+        for i in range(4):
+            assert np.allclose(U[i].conj().T @ U[i], np.eye(5), atol=1e-3)
+
     def test_cholesky(self):
         x = rand_c((4, 4), 10)
         h = x @ x.conj().T + 2 * np.eye(4)

@@ -95,3 +95,88 @@ class TestBatchedMaxSinr:
         assert F.shape == (3, 4, 2)
         norms = np.sqrt(np.sum(np.abs(F.to_numpy()) ** 2, axis=(1, 2)))
         assert np.allclose(norms, 1.0, atol=1e-5)
+
+
+class TestBatchedMinLeakage:
+    def test_leakage_driven_to_zero(self):
+        # K=3, 2x2, Ns=1 is IA-feasible: leakage must approach zero
+        from pyphysim_tpu.ia.batched import calc_leakage, min_leakage_solve
+        H = make_H(jax.random.PRNGKey(5))
+        F0 = random_unit_precoders(jax.random.PRNGKey(6), 3, 2, 1)
+        U0 = random_unit_precoders(jax.random.PRNGKey(7), 3, 2, 1)
+        initial = float(calc_leakage(H, F0, U0))
+        F, U = min_leakage_solve(H, jax.random.PRNGKey(6), Ns=1,
+                                 iterations=60)
+        final = float(calc_leakage(H, F, U))
+        assert final < 1e-3 * initial
+
+    def test_vmap_jit(self):
+        from pyphysim_tpu.ia.batched import calc_leakage, min_leakage_solve
+
+        @jax.jit
+        def run(keys):
+            def one(k):
+                k1, k2 = jax.random.split(k)
+                H = make_H(k1)
+                F, U = min_leakage_solve(H, k2, Ns=1, iterations=40)
+                return calc_leakage(H, F, U)
+
+            return jax.vmap(one)(keys)
+
+        leaks = np.asarray(run(jax.random.split(jax.random.PRNGKey(8), 4)))
+        assert leaks.shape == (4,)
+        assert np.all(leaks < 1e-2)
+
+
+class TestBatchedMMSE:
+    def test_power_constraint_respected(self):
+        from pyphysim_tpu.ia.batched import mmse_solve
+        H = make_H(jax.random.PRNGKey(9))
+        for P in (0.5, 1.0, 4.0):
+            F, U = mmse_solve(H, jax.random.PRNGKey(10), Ns=1, P=P,
+                              noise_var=0.1, iterations=30)
+            norms = np.array([float(np.sum(np.asarray(F[k].abs2())))
+                              for k in range(3)])
+            assert np.all(norms <= P * 1.001)
+
+    def test_beats_random_precoding(self):
+        # MMSE-IA should cut leakage far below a random precoder's
+        from pyphysim_tpu.ia.batched import calc_leakage, mmse_solve
+        H = make_H(jax.random.PRNGKey(11))
+        F, U = mmse_solve(H, jax.random.PRNGKey(12), Ns=1, P=1.0,
+                          noise_var=1e-3, iterations=50)
+        Fn = cplx.CArray(*[x / np.sqrt(np.sum(np.asarray(F.abs2()),
+                                              axis=(-2, -1),
+                                              keepdims=True))
+                           for x in (F.re, F.im)])
+        F0 = random_unit_precoders(jax.random.PRNGKey(13), 3, 2, 1)
+        U0 = random_unit_precoders(jax.random.PRNGKey(14), 3, 2, 1)
+        assert float(calc_leakage(H, Fn, U)) < \
+            0.05 * float(calc_leakage(H, F0, U0))
+
+    def test_mu_zero_when_unconstrained_ok(self):
+        # with huge P the power constraint is slack: mu = 0 branch
+        from pyphysim_tpu.ia.batched import _mmse_precoder
+        a = randn_c(jax.random.PRNGKey(15), 2, 2)
+        A = cplx.matmul(a, a.mH) + cplx.eye(2)
+        rhs = randn_c(jax.random.PRNGKey(16), 2, 1)
+        v = _mmse_precoder(A, rhs, P=1e6)
+        v_direct = cplx.solve(A, rhs)
+        assert np.allclose(v.to_numpy(), v_direct.to_numpy(), atol=1e-4)
+
+    def test_vmap_jit(self):
+        from pyphysim_tpu.ia.batched import calc_sinrs, mmse_solve
+
+        @jax.jit
+        def run(keys):
+            def one(k):
+                k1, k2 = jax.random.split(k)
+                H = make_H(k1)
+                F, U = mmse_solve(H, k2, Ns=1, P=1.0, noise_var=0.1,
+                                  iterations=25)
+                return sum_capacity(calc_sinrs(H, F, U, 0.1, 1.0))
+
+            return jax.vmap(one)(keys)
+
+        caps = np.asarray(run(jax.random.split(jax.random.PRNGKey(17), 4)))
+        assert caps.shape == (4,) and np.all(caps > 0)
