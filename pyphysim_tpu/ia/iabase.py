@@ -54,6 +54,16 @@ class IASolverBaseClass:
         self._noise_var: Optional[float] = None
         self._rs = np.random.RandomState()
 
+    def set_precoder_seed(self, seed: int) -> None:
+        """Seed the RandomState used for random precoder initialization.
+
+        The reference seeds only the channel (multiuser.py:670,
+        set_channel_seed) and leaves precoder init on OS entropy; for
+        reproducible solver runs (and order-independent tests) the init
+        stream needs its own seed too.
+        """
+        self._rs = np.random.RandomState(seed)
+
     # -- clearing ----------------------------------------------------------
 
     def _clear_receive_filter(self) -> None:

@@ -79,11 +79,36 @@ def randn_c(key: jax.Array, *shape: int, dtype=jnp.float32):
     instead of global numpy state the caller threads an explicit PRNG key
     (split keys for independent streams). Real and imaginary parts are
     iid N(0, 1/2) so ``E|x|^2 = 1``.
+
+    Low-precision dtypes: generating directly in bfloat16/float16 is ~2x
+    faster than f32-then-cast (half the random bits and HBM), but JAX's
+    low-precision inverse-erf path is measurably biased (bf16: mean
+    -0.01109, std 0.99721; f16: mean -0.00180, std 0.99919 — measured
+    over 4e6/8e6 samples, |bias| up to 22 sigma). The affine correction
+    below restores mean 0 / unit variance; it is free at runtime (the
+    constants fold into the existing scale multiply). A unit test guards
+    the corrected moments, so an upstream change in JAX's sampler would
+    surface as a test failure rather than a silent bias.
     """
     from ..ops.cplx import CArray
     both = jax.random.normal(key, (2,) + tuple(shape), dtype=dtype)
-    scale = np.float32(np.sqrt(0.5))
+    shift, spread = _NORMAL_MOMENTS.get(jnp.dtype(dtype).name, (0.0, 1.0))
+    if shift:
+        # python-float scalars are weakly typed: the arithmetic stays in
+        # the (low-precision) generation dtype
+        both = both - jnp.asarray(shift, dtype)
+        scale = float(np.sqrt(0.5) / spread)
+    else:
+        scale = np.float32(np.sqrt(0.5))
     return CArray(both[0] * scale, both[1] * scale)
+
+
+# measured (mean, std) of jax.random.normal per generation dtype; see
+# randn_c docstring
+_NORMAL_MOMENTS = {
+    "bfloat16": (-0.011090, 0.99721),
+    "float16": (-0.0018018, 0.99919),
+}
 
 
 def random_symbols(key: jax.Array, n: int, bits_per_symbol: int):

@@ -79,6 +79,9 @@ class TestIterativeSolvers:
         for P in (0.1, 1.0, 10.0):
             mu = make_channel(K=3, seed=4)
             solver = MaxSinrIASolver(mu)
+            # iterative max-SINR lands on different local optima from
+            # different random inits; seed for order-independent results
+            solver.set_precoder_seed(17)
             solver.max_iterations = 60
             solver.solve(Ns=1, P=P)
             caps.append(solver.calc_sum_capacity())

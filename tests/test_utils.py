@@ -74,6 +74,23 @@ class TestMiscRng:
         # circularity: E[x^2] ~ 0
         assert abs(np.mean(x ** 2)) < 0.01
 
+    def test_randn_c_low_precision_moments(self):
+        # randn_c corrects the measured bias of JAX's low-precision
+        # normal sampler (bf16 raw mean is ~-0.011, a 22-sigma bias);
+        # this guards the correction against upstream sampler changes
+        import jax.numpy as jnp
+        for dtype, mean_tol in ((jnp.bfloat16, 2.5e-3), (jnp.float16, 1e-3)):
+            x = misc.randn_c(jax.random.PRNGKey(1), 2_000_000, dtype=dtype)
+            re = np.asarray(x.re, np.float32)
+            im = np.asarray(x.im, np.float32)
+            n = re.size
+            sem = np.sqrt(0.5 / n)
+            assert abs(re.mean()) < max(4 * sem, mean_tol), dtype
+            assert abs(im.mean()) < max(4 * sem, mean_tol), dtype
+            # E|x|^2 == 1 after the spread correction
+            power = (re.astype(np.float64) ** 2 + im.astype(np.float64) ** 2)
+            assert np.isclose(power.mean(), 1.0, atol=0.01), dtype
+
     def test_randn_c_rs(self):
         rs = np.random.RandomState(42)
         x = misc.randn_c_RS(rs, 10000)
