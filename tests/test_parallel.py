@@ -90,3 +90,78 @@ class TestGraftDryrun:
         fn, args = g.entry()
         out = jax.jit(fn)(*args)
         assert int(out) >= 0
+
+
+class TestTimeShardedChannel:
+    """SURVEY §5 long-context equivalent: time-block sharding with
+    ppermute halo exchange must reproduce the unsharded convolution."""
+
+    def _make_channel(self):
+        from pyphysim_tpu.channels import (COST259_TUx, JakesSampleGenerator,
+                                           TdlChannel)
+        jakes = JakesSampleGenerator(Fd=50.0, Ts=1.0 / 20e6, L=12)
+        return TdlChannel(jakes, COST259_TUx)
+
+    def test_matches_unsharded(self):
+        from pyphysim_tpu.parallel import corrupt_data_time_sharded
+        from pyphysim_tpu.utils.misc import randn_c
+
+        channel = self._make_channel()
+        mesh = make_mesh(axis_name="time")
+        block = 128
+        N = 8 * 4 * block  # 4 blocks per device
+        signal = randn_c(jax.random.PRNGKey(0), N)
+        state = channel.init_state(jax.random.PRNGKey(1))
+
+        ref_out, ref_ir, _ = channel.corrupt_data(state, signal,
+                                                  block_size=block)
+        out, ir, _ = corrupt_data_time_sharded(channel, state, signal,
+                                               block, mesh)
+        np.testing.assert_allclose(np.asarray(out.re),
+                                   np.asarray(ref_out.re[..., :N]),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out.im),
+                                   np.asarray(ref_out.im[..., :N]),
+                                   atol=2e-5)
+        # the halo really crossed devices: energy at shard boundaries
+        # must match too (first halo samples of every non-first shard)
+        span = channel.num_taps_with_padding
+        n_local = N // 8
+        for d in range(1, 8):
+            seg = slice(d * n_local, d * n_local + span - 1)
+            np.testing.assert_allclose(np.asarray(out.re[seg]),
+                                       np.asarray(ref_out.re[seg]),
+                                       atol=2e-5)
+
+    def test_ir_matches_unsharded_blocks(self):
+        from pyphysim_tpu.parallel import corrupt_data_time_sharded
+        from pyphysim_tpu.utils.misc import randn_c
+
+        channel = self._make_channel()
+        mesh = make_mesh(axis_name="time")
+        block = 128
+        N = 8 * 2 * block
+        signal = randn_c(jax.random.PRNGKey(2), N)
+        state = channel.init_state(jax.random.PRNGKey(3))
+
+        _, ref_ir, _ = channel.corrupt_data(state, signal, block_size=block)
+        _, ir, _ = corrupt_data_time_sharded(channel, state, signal,
+                                             block, mesh)
+        # both paths keep one strided IR value per block
+        np.testing.assert_allclose(np.asarray(ir.tap_values_sparse.re),
+                                   np.asarray(ref_ir.tap_values_sparse.re),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ir.tap_values_sparse.im),
+                                   np.asarray(ref_ir.tap_values_sparse.im),
+                                   atol=2e-5)
+
+    def test_length_validation(self):
+        from pyphysim_tpu.parallel import corrupt_data_time_sharded
+        from pyphysim_tpu.utils.misc import randn_c
+
+        channel = self._make_channel()
+        mesh = make_mesh(axis_name="time")
+        signal = randn_c(jax.random.PRNGKey(4), 1000)  # not divisible
+        state = channel.init_state(jax.random.PRNGKey(5))
+        with pytest.raises(ValueError):
+            corrupt_data_time_sharded(channel, state, signal, 128, mesh)
