@@ -22,9 +22,12 @@ __all__ = ["make_mesh", "shard_batch", "init_multihost"]
 def make_mesh(devices: Optional[Sequence] = None,
               axis_name: str = "mc") -> Mesh:
     """A 1-D mesh over all (or the given) local devices, for sharding
-    Monte Carlo repetition batches."""
+    Monte Carlo repetition batches. An integer is accepted as a count
+    (the first ``devices`` local devices)."""
     if devices is None:
         devices = jax.devices()
+    elif isinstance(devices, int):
+        devices = jax.devices()[:devices]
     return Mesh(np.asarray(devices), (axis_name,))
 
 
