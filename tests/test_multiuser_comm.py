@@ -285,6 +285,50 @@ class TestProjections:
         assert np.allclose(Qc.to_numpy(), calcProjectionMatrix(A), atol=1e-4)
 
 
+class TestSubspaceMetrics:
+    # Values from the reference doctests (metrics.py:43-49,102-109,141-147)
+    def test_principal_angles_known(self):
+        from pyphysim_tpu.subspace import calc_principal_angles
+        A = np.array([[1, 2], [3, 4], [5, 6]], dtype=float)
+        B = np.array([[1, 5], [3, 7], [5, -1]], dtype=float)
+        angles = calc_principal_angles(A, B)
+        assert np.allclose(angles, [0.0, 0.54312217], atol=1e-7)
+
+    def test_chordal_distances_agree(self):
+        from pyphysim_tpu.subspace import (
+            calc_chordal_distance, calc_chordal_distance_2,
+            calc_chordal_distance_from_principal_angles,
+            calc_principal_angles)
+        A = np.arange(1, 9.0).reshape(4, 2)
+        B = np.array([[1.2, 2.1], [2.9, 4.3], [5.2, 6.1], [6.8, 8.1]])
+        d1 = calc_chordal_distance(A, B)
+        d2 = calc_chordal_distance_2(A, B)
+        d3 = calc_chordal_distance_from_principal_angles(
+            calc_principal_angles(A, B))
+        assert np.isclose(d1, 0.47386786, atol=1e-7)
+        assert np.isclose(d2, d1, atol=1e-7)
+        assert np.isclose(d3, d1, atol=1e-7)
+
+    def test_carray_matches_host_and_batches(self):
+        from pyphysim_tpu.subspace import (calc_chordal_distance,
+                                           calc_principal_angles)
+        A = rand_c((4, 2), 3)
+        B = rand_c((4, 2), 4)
+        host = calc_principal_angles(A, B)
+        dev = calc_principal_angles(cplx.from_numpy(A), cplx.from_numpy(B))
+        assert np.allclose(np.asarray(dev), host, atol=1e-3)
+        host_d = calc_chordal_distance(A, B)
+        dev_d = calc_chordal_distance(cplx.from_numpy(A), cplx.from_numpy(B))
+        assert np.isclose(float(dev_d), host_d, atol=1e-3)
+        # batched over a leading axis (the codebook-search shape)
+        As = cplx.stack([cplx.from_numpy(A), cplx.from_numpy(B)])
+        Bs = cplx.stack([cplx.from_numpy(B), cplx.from_numpy(B)])
+        ds = jax.jit(calc_chordal_distance)(As, Bs)
+        assert ds.shape == (2,)
+        assert np.isclose(float(ds[0]), host_d, atol=1e-3)
+        assert np.isclose(float(ds[1]), 0.0, atol=1e-3)
+
+
 class TestBlockDiagonalizer:
     def test_block_diagonalization(self):
         for method in ("block_diagonalize",
