@@ -90,6 +90,17 @@ class VerySimplePskSimulationRunner(SimulationRunner):
             return cumulated < self.params["max_bit_errors"]
         return True
 
+    def get_data_to_be_plotted(self):
+        """(SNR, ber, ser, theoretical_ber, theoretical_ser) — the
+        reference's plotting helper (apps/awgn_modulators/simulate_psk.py,
+        get_data_to_be_plotted)."""
+        snr = np.asarray(self.results.params["SNR"], dtype=float)
+        ber = np.asarray(self.results.get_result_values_list("ber"))
+        ser = np.asarray(self.results.get_result_values_list("ser"))
+        theoretical_ber = self.modulator.calcTheoreticalBER(snr)
+        theoretical_ser = self.modulator.calcTheoreticalSER(snr)
+        return snr, ber, ser, theoretical_ber, theoretical_ser
+
 
 def main():
     runner = VerySimplePskSimulationRunner()

@@ -149,6 +149,11 @@ def _string_check(value):
 
 
 def _string_list_check(value):
+    if isinstance(value, str):
+        # configobj spells list defaults as list('a', 'b'); unwrap it
+        s = value.strip()
+        if s.startswith("list(") and s.endswith(")"):
+            value = s[5:-1]
     return [_string_check(t) for t in _tokenize_list(value)]
 
 

@@ -450,9 +450,18 @@ def calc_decorrelation_matrix(cov_matrix):
 
 def calc_whitening_matrix(cov_matrix):
     """Whitening matrix ``W`` with ``W^H R W = I`` (misc.py:1167-1201):
-    ``W = V Lambda^{-1/2}`` from the eigendecomposition of ``R``."""
+    ``W = V Lambda^{-1/2}`` from the eigendecomposition of ``R``.
+
+    Eigenvalues are floored at ``max(w) * 1e-12`` (and an absolute tiny
+    floor for the all-zero case) so a singular covariance — e.g. rank-1
+    external interference with zero noise — yields a finite pinv-style
+    whitener instead of NaN columns.
+    """
     xp = jnp if isinstance(cov_matrix, jnp.ndarray) else np
     w, v = xp.linalg.eigh(cov_matrix)
+    floor = xp.maximum(w[..., -1:] * 1e-12, 1e-300 if w.dtype == np.float64
+                       else 1e-37)
+    w = xp.maximum(w, floor)
     return v * (w[..., None, :]**-0.5)
 
 

@@ -304,6 +304,20 @@ unpacked_parameters = string_list(default=list())
         assert params.unpacked_parameters == ["SNR"]
         assert params.get_num_unpacked_variations() == 7
 
+    def test_string_list_default_with_list_wrapper(self, tmp_path):
+        # configobj spells list defaults as list('a', 'b'); the default
+        # must parse when the key is absent from the config file
+        cfg = tmp_path / "sim2.conf"
+        cfg.write_text("[General]\nSNR = 0:2:5\n")
+        spec = """
+[General]
+SNR = real_numpy_array(default=15)
+unpacked_parameters = string_list(default=list('SNR'))
+"""
+        params = load_config(str(cfg), spec)
+        assert params.unpacked_parameters == ["SNR"]
+        assert params.get_num_unpacked_variations() == 3
+
 
 # ---------------------------------------------------------------------------
 # Dummy runners (SURVEY §4.5 pattern)
