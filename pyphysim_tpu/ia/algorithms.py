@@ -198,11 +198,14 @@ class IterativeIASolverBaseClass(IASolverBaseClass):
 
     def _dont_initialize_F_and_only_and_find_W(self, Ns=None,
                                                P=None) -> None:
-        """'fix' mode: keep the current F (must have been set)."""
+        """'fix' mode: keep the current F (must have been set); the
+        stream counts are read off the precoder shapes
+        (algorithms.py:546-566)."""
         if self._F is None:
             raise RuntimeError(
                 "The 'fix' initialization requires that the precoders "
                 "were already set (e.g. by a previous solve)")
+        self._Ns = np.array([f.shape[1] for f in self._F])
         self._before_initialize_W_func()
         self._updateW()
 

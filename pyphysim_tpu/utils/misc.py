@@ -504,6 +504,8 @@ def get_range_representation(array: np.ndarray,
     (misc.py:911-962): ``[0, 5, 10, 15] -> '0:5:15'`` (or ``'0_(5)_15'``
     in filename mode). Returns None if not an arithmetic progression."""
     array = np.asarray(array)
+    if not np.issubdtype(array.dtype, np.number):
+        return None  # string/object parameter sweeps have no range form
     if array.size == 1:
         return _fmt_num(array.flat[0])
     steps = np.diff(array.astype(float))
@@ -562,7 +564,9 @@ def replace_dict_values(name: str,
         if isinstance(v, np.ndarray):
             r = get_range_representation(v, filename_mode)
             if r is None:
-                r = ",".join(_fmt_num(e) for e in v.ravel())
+                numeric = np.issubdtype(v.dtype, np.number)
+                r = ",".join(_fmt_num(e) if numeric else str(e)
+                             for e in v.ravel())
                 if filename_mode:
                     r = r.replace(",", "_")
             rep[k] = f"[{r}]"
