@@ -543,13 +543,32 @@ class Cluster(shapes.Shape):
     def add_border_users(self, cell_ids, angles,
                          ratios: Union[float, Sequence[float]] = 1.0,
                          user_color=None) -> None:
-        """Add border users to the given cells (cell.py:2245-2320)."""
-        for cid in np.atleast_1d(cell_ids):
-            self.get_cell_by_id(int(cid)).add_border_user(angles, ratios
-                                                          if np.isscalar(
-                                                              ratios)
-                                                          else None,
-                                                          user_color)
+        """Add border users to the given cells (cell.py:2245-2320).
+
+        With a scalar ``cell_ids``, ``angles`` may be one angle or a list
+        of angles for that cell. With an iterable ``cell_ids``, the other
+        arguments pair up with the cells (scalars are repeated for every
+        cell), matching the reference: ``([1, 2, 3], [90, 150, 190], 0.9)``
+        adds ONE user per cell at the paired angle, and a per-cell entry
+        may itself be a list of angles.
+        """
+        if np.isscalar(cell_ids):
+            self.get_cell_by_id(int(cell_ids)).add_border_user(
+                angles, ratios, user_color)
+            return
+        cell_ids = list(np.atleast_1d(cell_ids))
+        n = len(cell_ids)
+
+        def per_cell(value):
+            if np.isscalar(value) or value is None:
+                return [value] * n
+            return list(value)
+
+        for cid, angle, ratio, color in zip(cell_ids, per_cell(angles),
+                                            per_cell(ratios),
+                                            per_cell(user_color)):
+            self.get_cell_by_id(int(cid)).add_border_user(angle, ratio,
+                                                          color)
 
     def delete_all_users(self, cell_id=None) -> None:
         if cell_id is None:

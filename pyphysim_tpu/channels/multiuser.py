@@ -695,6 +695,22 @@ class MultiUserChannelMatrixExtInt(MultiUserChannelMatrix):
         super().init_from_channel_matrix(channel_matrix, full_Nr, full_Nt,
                                          full_K)
 
+    def set_pathloss(self, pathloss_matrix=None,
+                     ext_int_pathloss=None) -> None:
+        """Per-link path loss plus the (K, extIntK) loss from each external
+        source to each receiver (multiuser.py:2415-2465). Internally the
+        external sources are extra zero-Rx users, so the two blocks are
+        hstacked into the full matrix (their own rows are unused)."""
+        if pathloss_matrix is None:
+            super().set_pathloss(None)
+            return
+        K, extK = self.K, self._extIntK
+        full = np.ones((K + extK, K + extK))
+        full[:K, :K] = np.asarray(pathloss_matrix)
+        if ext_int_pathloss is not None:
+            full[:K, K:] = np.asarray(ext_int_pathloss).reshape(K, extK)
+        super().set_pathloss(full)
+
     def get_Hk_without_ext_int(self, k: int) -> CArray:
         """Row of big_H for receiver k EXCLUDING the external interference
         columns (multiuser.py:2191-2240)."""
