@@ -42,3 +42,89 @@ class TestFindCodebook:
         qegt = CodebookFinder(3, 1, 4, COMPLEX_QEGT, prng_seed=3, batch=16)
         qegt.find_codebook(16)
         assert np.allclose(np.abs(qegt.codebook), 1.0, atol=1e-5)
+
+
+class TestWaterfillingTikz:
+    def test_latex_generation(self):
+        from apps.waterfilling_tikz_draw import gen_latex_code
+        from pyphysim_tpu.comm import waterfilling
+        gains = np.array([0.9, 0.5, 0.1])
+        powers, mu = waterfilling.doWF(gains, 1.0, noiseVar=0.1)
+        tex = gen_latex_code(gains, mu, noiseVar=0.1)
+        assert r"\begin{tikzpicture}" in tex
+        assert "MAXITER" not in tex  # all placeholders substituted
+        assert f"{float(mu):.4f}" in tex
+
+    def test_draw_writes_file(self, tmp_path):
+        from apps.waterfilling_tikz_draw import draw_wf
+        out = tmp_path / "wf.tex"
+        draw_wf(np.array([0.9, 0.5]), 0.7, filename=str(out))
+        assert out.read_text().startswith("\\documentclass")
+
+
+class TestMetisScenario2:
+    def test_simulation_statistics(self):
+        from apps.metis_scenarios.simulate_metis_scenario2 import simulate
+        sinr_dB, capacity, num_tx, num_aps = simulate(
+            num_users=50, num_rooms_per_side=6, ap_decimation=1, seed=1)
+        assert sinr_dB.shape == (50,)
+        assert capacity.shape == (50,)
+        assert 0 < num_tx <= num_aps == 36
+        assert np.all(capacity >= 0)
+        # decimating APs must not increase the AP count
+        _, _, num_tx2, num_aps2 = simulate(
+            num_users=50, num_rooms_per_side=6, ap_decimation=4, seed=1)
+        assert num_aps2 < num_aps
+
+    def test_room_grid_geometry(self):
+        from apps.metis_scenarios.simulate_metis_scenario2 import (
+            calc_num_walls, calc_room_positions_square)
+        rooms = calc_room_positions_square(10.0, 9)
+        assert rooms.shape == (9,)
+        # grid is centered at the origin
+        assert np.isclose(rooms.mean(), 0.0)
+        # a user at a room center has 0 walls to that room's AP
+        walls = calc_num_walls(10.0, rooms, rooms)
+        assert np.all(np.diag(walls.reshape(9, 9)) == 0)
+
+
+class TestQuantizedCSI:
+    def test_quantization_picks_nearest_codeword(self):
+        import jax
+        from apps.ia.simple_maxsinr_quantized import (gen_codebook,
+                                                      quantize_channel)
+        from pyphysim_tpu.utils.misc import randn_c
+        key = jax.random.PRNGKey(0)
+        cb = gen_codebook(key, 64, 4)
+        assert np.allclose(
+            np.sum(np.abs(cb.to_numpy()) ** 2, axis=-1), 1.0, atol=1e-4)
+        H = randn_c(jax.random.PRNGKey(1), 2, 2, 2, 2)
+        Q = jax.jit(lambda h: quantize_channel(h, cb))(H)
+        qn = Q.to_numpy().reshape(2, 2, 4)
+        cbn = cb.to_numpy()
+        hn = H.to_numpy().reshape(2, 2, 4)
+        for i in range(2):
+            for j in range(2):
+                v = hn[i, j] / np.linalg.norm(hn[i, j])
+                dists = np.linalg.norm(v[None, :] - cbn, axis=-1)
+                assert np.allclose(qn[i, j], cbn[np.argmin(dists)],
+                                   atol=1e-5)
+
+
+class TestPercentToIpynb:
+    def test_roundtrip_structure(self, tmp_path):
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "bin"))
+        from percent_to_ipynb import parse_percent_cells, to_ipynb
+        src = ("# %% [markdown]\n# # Title\n#\n# prose line\n\n"
+               "# %%\nx = 1\ny = x + 1\n\n"
+               "# %% [markdown]\n# more prose\n\n"
+               "# %%\nprint(y)\n")
+        cells = parse_percent_cells(src)
+        assert [k for k, _ in cells] == ["markdown", "code", "markdown",
+                                         "code"]
+        assert cells[0][1][0] == "# Title"
+        nb = to_ipynb(cells)
+        assert nb["nbformat"] == 4
+        assert len(nb["cells"]) == 4
+        assert nb["cells"][1]["source"] == ["x = 1\n", "y = x + 1"]
