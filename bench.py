@@ -35,10 +35,12 @@ def bench_ofdm_tdl() -> float:
     cfft.FOUR_STEP_MIN = 10_000  # direct DFT matmul beats 4-step here
     import __graft_entry__ as g
 
-    # batch x num_symbols tuned on v5e: 256 x 19200 (a ~5M-sample working
-    # set per step) beats both larger batches and longer sequences by
-    # ~20% — smaller footprint keeps the whole block pipeline resident
-    batch = 256
+    # batch x num_symbols tuned on v5e: 128 x 19200 (a ~2.5M-sample
+    # working set per step) beats larger batches and longer sequences —
+    # past full utilization a bigger footprint only adds HBM pressure.
+    # iters amortizes the relay's fixed ~24 ms dispatch+fetch latency
+    # (at 800 steps it costs <1.5%; at 30 it was 25% of the measurement).
+    batch = 128
     num_symbols = 300 * 64
     snr_db = 15.0
     step = g._make_chain_step(num_symbols=num_symbols, fft_size=512,
@@ -47,7 +49,7 @@ def bench_ofdm_tdl() -> float:
                               signal_dtype=jnp.bfloat16)
 
     snrs = jnp.full((batch,), 10 ** (snr_db / 10.0))
-    iters = 50
+    iters = 800
 
     @jax.jit
     def run_many(base_key):
