@@ -284,13 +284,28 @@ class MultiUserChannelMatrix:
 
     # -- seeding -----------------------------------------------------------
 
-    def set_channel_seed(self, seed) -> None:
+    def set_channel_seed(self, seed=None) -> None:
+        """Seed the channel generator; None draws a fresh random seed
+        (multiuser.py:670-688)."""
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
         self._channel_key = (jax.random.PRNGKey(seed)
-                             if isinstance(seed, int) else seed)
+                             if isinstance(seed, (int, np.integer)) else seed)
 
-    def set_noise_seed(self, seed) -> None:
+    def set_noise_seed(self, seed=None) -> None:
+        """Seed the noise generator; None draws a fresh random seed
+        (multiuser.py:690-709)."""
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
         self._noise_key = (jax.random.PRNGKey(seed)
-                           if isinstance(seed, int) else seed)
+                           if isinstance(seed, (int, np.integer)) else seed)
+
+    def re_seed(self) -> None:
+        """Re-seed channel and noise generators with fresh random seeds —
+        call in ``_on_simulate_current_params_start`` so parallel workers
+        do not share streams (multiuser.py:700-709)."""
+        self.set_channel_seed(None)
+        self.set_noise_seed(None)
 
     # -- properties --------------------------------------------------------
 

@@ -178,6 +178,17 @@ _VALIDATORS: Dict[str, Callable] = {
         integer_scalar_or_integer_numpy_array_check,
 }
 
+# The reference registers its custom validators under their full function
+# names, so spec strings may use either form (configobjvalidation.py:91-369)
+_VALIDATORS.update({
+    "real_numpy_array_check": real_numpy_array_check,
+    "integer_numpy_array_check": integer_numpy_array_check,
+    "real_scalar_or_real_numpy_array_check":
+        real_scalar_or_real_numpy_array_check,
+    "integer_scalar_or_integer_numpy_array_check":
+        integer_scalar_or_integer_numpy_array_check,
+})
+
 
 _SPEC_RE = re.compile(r"^\s*(\w+)\s*(?:\((.*)\))?\s*$")
 
@@ -194,10 +205,10 @@ def _split_args(argstr: str) -> List[str]:
         if ch in "\"'":
             quote = ch
             cur += ch
-        elif ch == "[":
+        elif ch in "[(":
             depth += 1
             cur += ch
-        elif ch == "]":
+        elif ch in "])":
             depth -= 1
             cur += ch
         elif ch == "," and depth == 0:
@@ -240,6 +251,11 @@ def validate_value(spec_str: str, raw_value: Optional[str]):
         if default is None:
             raise ValidationError(
                 f"Missing value with no default for spec {spec_str!r}")
+        if default.startswith("list(") and default.endswith(")"):
+            # configobj list-default syntax: default=list('a', 'b')
+            inner = default[len("list("):-1]
+            default = ",".join(p.strip().strip("\"'")
+                               for p in _split_args(inner))
         raw_value = default
     return _VALIDATORS[name](raw_value, *args, **kwargs)
 
@@ -286,6 +302,10 @@ def load_config(filename: str, spec=None, save_parsed_file: bool = False):
         conf = parse_ini(f.read())
 
     spec_map: Dict[str, Dict[str, str]] = {}
+    if isinstance(spec, (list, tuple)):
+        # configobj accepts a spec as a list of lines
+        # (reference simulate_ia.py:320-341 passes spec.split("\n"))
+        spec = "\n".join(str(line) for line in spec)
     if isinstance(spec, str):
         spec_map = parse_ini(spec)
     elif isinstance(spec, dict):

@@ -318,6 +318,9 @@ class SimulationResults(serialize.JsonSerializable):
         # Repetition count stored in partial-results checkpoints
         # (parity: runner.py:966 'current_sim_results.current_rep').
         self.current_rep = 0
+        # Repetitions actually run per variation, set by the runner at
+        # simulation end (parity: results.py:884, runner.py:1628-1630).
+        self.runned_reps: Optional[List[int]] = None
 
     # -- params ------------------------------------------------------------
 
@@ -468,6 +471,7 @@ class SimulationResults(serialize.JsonSerializable):
             },
             "params": self._params._to_dict(),
             "current_rep": self.current_rep,
+            "runned_reps": self.runned_reps,
         }
 
     @classmethod
@@ -480,6 +484,7 @@ class SimulationResults(serialize.JsonSerializable):
         }
         obj._params = SimulationParameters._from_dict(d["params"])
         obj.current_rep = d.get("current_rep", 0)
+        obj.runned_reps = d.get("runned_reps")
         return obj
 
     # -- pandas ------------------------------------------------------------
@@ -496,6 +501,9 @@ class SimulationResults(serialize.JsonSerializable):
             lst = self._results[rname]
             if len(lst) == len(unpacked):
                 data[rname] = [r.get_result() for r in lst]
+        if self.runned_reps is not None and \
+                len(self.runned_reps) == len(unpacked):
+            data["runned_reps"] = list(self.runned_reps)
         return pd.DataFrame(data)
 
 

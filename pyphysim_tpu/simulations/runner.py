@@ -344,6 +344,7 @@ class SimulationRunner:
 
         self._elapsed_time = time.time() - tic
         self._on_simulate_finish()
+        self.results.runned_reps = list(self._runned_reps)
 
         if param_variation_index is None:
             filename = self._get_results_filename()

@@ -430,14 +430,14 @@ def update_inv_sum_diag(invA, diagonal):
 
 
 def get_principal_component_matrix(A, num_components: int):
-    """Reconstruction of ``A`` keeping its first ``num_components`` principal
-    components (misc.py:870-908). Batched-capable."""
+    """New matrix formed by the ``num_components`` most significant
+    components of ``A``, with the dead dimensions removed — the result has
+    ``num_components`` columns, matching the reference's
+    ``U @ diag(S_kept) @ V_H[:, :n]`` (misc.py:870-908). Batched-capable."""
     xp = jnp if isinstance(A, jnp.ndarray) else np
     u, s, vh = xp.linalg.svd(A, full_matrices=False)
-    u = u[..., :num_components]
-    s = s[..., :num_components]
-    vh = vh[..., :num_components, :]
-    return (u * s[..., None, :]) @ vh
+    n = num_components
+    return (u[..., :n] * s[..., None, :n]) @ vh[..., :n, :n]
 
 
 def calc_decorrelation_matrix(cov_matrix):

@@ -128,3 +128,126 @@ class TestPercentToIpynb:
         assert nb["nbformat"] == 4
         assert len(nb["cells"]) == 4
         assert nb["cells"][1]["source"] == ["x = 1\n", "y = x + 1"]
+
+
+TINY_IA_CONFIG = """[Scenario]
+SNR = [5 15]
+M = 4
+modulator = PSK
+NSymbs = 30
+K = 3
+Nr = 2
+Nt = 2
+Ns = 1
+[IA Algorithm]
+max_iterations = 5,10
+initialize_with = random
+[General]
+max_bit_errors = 3000
+unpacked_parameters = SNR, max_iterations, initialize_with
+rep_max = 2
+"""
+
+TINY_GREEDY_CONFIG = """[Grid]
+cell_radius = 1.0
+num_cells = 3
+num_clusters = 1
+[Scenario]
+NSymbs = 30
+SNR = [10 20]
+M = 4
+modulator = PSK
+Nr = 2
+Nt = 2
+Ns = 2
+N0 = -116.4
+scenario = Random, NoPathLoss
+[IA Algorithm]
+max_iterations = 10
+initialize_with = random
+stream_sel_method = none, greedy
+[General]
+rep_max = 2
+max_bit_errors = 3000
+unpacked_parameters = SNR, stream_sel_method, scenario, initialize_with
+"""
+
+
+class TestSimulateIAConfigDriven:
+    """Config-driven multi-solver IA sweep + tikz plot generation
+    (reference apps/ia/simulate_ia.py + IA_Results_NrxNt(Ns).py)."""
+
+    def test_full_pipeline(self, tmp_path, monkeypatch):
+        from apps.ia.simulate_ia import main_simulate
+        from apps.ia.ia_results_plots import (get_num_runned_reps,
+                                              make_plots)
+        monkeypatch.chdir(tmp_path)
+        (tmp_path / "ia_config_file.txt").write_text(TINY_IA_CONFIG)
+
+        runners = main_simulate(
+            ["Closed Form", "Alt Min", "Max SINR", "MMSE"],
+            "ia_config_file.txt", read_command_line_args=False)
+        assert len(runners) == 4
+
+        # closed form has no iteration sweep: 2 variations; others 4
+        assert len(runners[0].results.get_result_values_list("ber")) == 2
+        for r in runners[1:]:
+            assert len(r.results.get_result_values_list("ber")) == 4
+            # every repetition transmitted K*Ns*NSymbs symbols
+            n = r.results.get_result_values_list("num_symbols")
+            assert all(v == 2 * 3 * 1 * 30 for v in n)
+
+        reps = get_num_runned_reps(runners[1].results,
+                                   {"max_iterations": 5})
+        assert list(reps) == [2, 2]
+
+        templates = os.path.join(os.path.dirname(__file__), "..", "apps")
+        ber, cap = make_plots(
+            str(tmp_path), 10, templates_dir=templates,
+            base_name="4-PSK_2x2_(1)_MaxIter_[5_(5)_10]",
+            base_name_no_iter="4-PSK_2x2_(1)")
+        for f in (ber, cap):
+            txt = open(f).read()
+            assert "MAXITER" not in txt and "SECONDTICK" not in txt
+            assert txt.count("\\addplot") >= 3
+
+
+class TestGreedyStreamSelection:
+    """Scenario-aware greedy/brute stream-selection sweep + the
+    statistics / partial-results inspection scripts (reference
+    apps/ia/simulate_greedy_ia.py, greedy_statistics.py,
+    check_greedy_partial_results.py)."""
+
+    def test_full_pipeline(self, tmp_path, monkeypatch):
+        from apps.ia.simulate_greedy_ia import IAStreamSelSimulationRunner
+        from apps.ia.greedy_statistics import (get_pretty_statistic_table,
+                                               get_result_from_file,
+                                               print_statistics_table)
+        from apps.ia.check_greedy_partial_results import check_partials
+        monkeypatch.chdir(tmp_path)
+        (tmp_path / "greedy_config_file.txt").write_text(TINY_GREEDY_CONFIG)
+
+        runner = IAStreamSelSimulationRunner("greedy_config_file.txt")
+        runner.set_results_filename(
+            "greedy_IA_stream_sel_results_{SNR}_{M}-{modulator}_{Nr}x{Nt}"
+            "_({Ns})_MaxIter_{max_iterations}_({initialize_with})")
+        runner.simulate()
+
+        results = get_result_from_file("greedy_config_file.txt")
+        stats = results.get_result_values_list(
+            "stream_statistics",
+            fixed_params={"stream_sel_method": "greedy",
+                          "scenario": "NoPathLoss"})
+        assert len(stats) == 2  # one histogram per SNR
+        table = get_pretty_statistic_table(stats[0], Ns=[2, 2, 2])
+        assert len(table) == 8  # 2*2*2 stream-count combinations
+        assert np.isclose(sum(v for _, v in table), 100.0)
+        print_statistics_table(table)  # smoke: non-zero rows print
+
+        pickles = [f for f in os.listdir(tmp_path)
+                   if f.endswith(".pickle")]
+        assert len(pickles) == 1
+        partials = check_partials(str(tmp_path / pickles[0]))
+        assert len(partials) == 8  # 2 SNR x 2 methods x 2 scenarios
+        for p in partials:
+            assert p.current_rep == 2

@@ -240,8 +240,11 @@ class TestLinalg:
         rng = np.random.RandomState(7)
         A = rng.randn(6, 4)
         A2 = misc.get_principal_component_matrix(A, 2)
+        # reference semantics (misc.py:870-908): dead dimensions removed,
+        # out = U @ diag-padded(S_kept) @ V_H[:, :2]  -> shape (6, 2)
         u, s, vh = np.linalg.svd(A)
-        expected = u[:, :2] @ np.diag(s[:2]) @ vh[:2]
+        expected = u[:, :2] @ np.diag(s[:2]) @ vh[:2, :2]
+        assert A2.shape == (6, 2)
         assert np.allclose(A2, expected, atol=1e-8)
 
     def test_whitening(self):
