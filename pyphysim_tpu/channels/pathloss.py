@@ -21,8 +21,9 @@ import numpy as np
 
 from ..utils import conversion
 
-__all__ = ["PathLossBase", "PathLossGeneral", "PathLossFreeSpace",
-           "PathLoss3GPP1", "PathLossMetisPS7", "PathLossOkomuraHata"]
+__all__ = ["PathLossBase", "PathLossIndoorBase", "PathLossOutdoorBase",
+           "PathLossGeneral", "PathLossFreeSpace", "PathLoss3GPP1",
+           "PathLossMetisPS7", "PathLossOkomuraHata"]
 
 NumberOrArray = Union[float, np.ndarray, jnp.ndarray]
 
@@ -112,7 +113,19 @@ class PathLossBase:
         return ax
 
 
-class PathLossGeneral(PathLossBase):
+class PathLossIndoorBase(PathLossBase):
+    """Base class for indoor path loss models (pathloss.py:345-517)."""
+
+    TYPE = "indoor"
+
+
+class PathLossOutdoorBase(PathLossBase):
+    """Base class for outdoor path loss models (pathloss.py:518-668)."""
+
+    TYPE = "outdoor"
+
+
+class PathLossGeneral(PathLossOutdoorBase):
     """``PL = 10 n log10(d) + C`` with d in Km (pathloss.py:669-816)."""
 
     TYPE = "outdoor"
@@ -184,7 +197,7 @@ class PathLoss3GPP1(PathLossGeneral):
         super().__init__(n=3.76, C=128.1)
 
 
-class PathLossMetisPS7(PathLossBase):
+class PathLossMetisPS7(PathLossIndoorBase):
     """METIS project Propagation Scenario 7 (indoor office,
     pathloss.py:1022-1346): ``PL = A log10(d) + B + 20 log10(fc/5) + X``
     with d in METERS and fc in GHz; LOS (num_walls == 0):
@@ -240,7 +253,7 @@ class PathLossMetisPS7(PathLossBase):
                          20.0 * math.log10(self._fc_ghz() / 5.0)) / 36.8)
 
 
-class PathLossOkomuraHata(PathLossBase):
+class PathLossOkomuraHata(PathLossOutdoorBase):
     """Okomura-Hata urban/suburban/open model (pathloss.py:1348+).
 
     ``L = A + B log10(d)`` (urban), minus area corrections for suburban /

@@ -2,7 +2,11 @@
 
 from .progressbar import (DummyProgressbar, ProgressBarBase,  # noqa: F401
                           ProgressBarIPython,
+                          ProgressbarDistributedClientBase,
+                          ProgressbarDistributedServerBase,
+                          ProgressbarMultiProcessClient,
+                          ProgressbarMultiProcessServer,
                           ProgressbarText, ProgressbarText2,
-                          ProgressbarText3, ProgressbarZMQClient,
-                          ProgressbarZMQServer,
-                          ProgressbarMultiProcessServer)
+                          ProgressbarText3, ProgressbarTextBase,
+                          ProgressbarZMQClient, ProgressbarZMQServer,
+                          center_message)

@@ -27,10 +27,27 @@ from typing import Any, List, Optional
 
 from ..utils.misc import pretty_time
 
-__all__ = ["DummyProgressbar", "ProgressBarBase", "ProgressbarText",
-           "ProgressbarText2", "ProgressbarText3", "ProgressBarIPython",
-           "ProgressbarDistributedServerBase", "ProgressbarZMQServer",
-           "ProgressbarZMQClient", "ProgressbarMultiProcessServer"]
+__all__ = ["center_message", "DummyProgressbar", "ProgressBarBase",
+           "ProgressbarTextBase", "ProgressbarText", "ProgressbarText2",
+           "ProgressbarText3", "ProgressBarIPython",
+           "ProgressbarDistributedServerBase",
+           "ProgressbarDistributedClientBase", "ProgressbarZMQServer",
+           "ProgressbarZMQClient", "ProgressbarMultiProcessServer",
+           "ProgressbarMultiProcessClient"]
+
+
+def center_message(message: str, length: int = 50, fill_char: str = " ",
+                   left: str = "", right: str = "") -> str:
+    """Return ``message`` (surrounded by spaces) centered in a
+    ``length``-wide field filled with ``fill_char``, with optional fixed
+    ``left``/``right`` decorations; odd fill goes left
+    (progressbar.py:77-117)."""
+    fill_size = length - (len(message) + 2) - len(left) - len(right)
+    fill_size = max(fill_size, 0)
+    left_fill = fill_size // 2 + (fill_size % 2)
+    right_fill = fill_size // 2
+    return (f"{left}{fill_char * left_fill} {message} "
+            f"{fill_char * right_fill}{right}")
 
 
 class DummyProgressbar:
@@ -116,9 +133,9 @@ class ProgressBarBase:
         return self._count / self.finalcount * 100.0
 
 
-class ProgressbarText(ProgressBarBase):
-    """Classic bar with a centered message:
-    ``------------ message [37%] -----------``"""
+class ProgressbarTextBase(ProgressBarBase):
+    """Shared state of the terminal bars: fill character, center message
+    and display width (progressbar.py:399-657)."""
 
     def __init__(self, finalcount: int, progresschar: str = "*",
                  message: str = "", output=None, width: int = 50) -> None:
@@ -126,6 +143,11 @@ class ProgressbarText(ProgressBarBase):
         self.progresschar = progresschar
         self.message = message
         self.width = max(int(width), 20)
+
+
+class ProgressbarText(ProgressbarTextBase):
+    """Classic bar with a centered message:
+    ``------------ message [37%] -----------``"""
 
     def _display_current_progress(self) -> None:
         pct = self.percent
@@ -142,15 +164,8 @@ class ProgressbarText(ProgressBarBase):
             pass
 
 
-class ProgressbarText2(ProgressBarBase):
+class ProgressbarText2(ProgressbarTextBase):
     """Bar + percentage + elapsed time on one line."""
-
-    def __init__(self, finalcount: int, progresschar: str = "*",
-                 message: str = "", output=None, width: int = 50) -> None:
-        super().__init__(finalcount, output)
-        self.progresschar = progresschar
-        self.message = message
-        self.width = max(int(width), 20)
 
     def _display_current_progress(self) -> None:
         pct = self.percent
@@ -165,23 +180,18 @@ class ProgressbarText2(ProgressBarBase):
             pass
 
 
-class ProgressbarText3(ProgressBarBase):
+class ProgressbarText3(ProgressbarTextBase):
     """Count display: ``-------- message: 400/600 ---------``"""
 
     def __init__(self, finalcount: int, progresschar: str = "-",
                  message: str = "", output=None, width: int = 50) -> None:
-        super().__init__(finalcount, output)
-        self.progresschar = progresschar
-        self.message = message
-        self.width = max(int(width), 20)
+        super().__init__(finalcount, progresschar, message, output, width)
 
     def _display_current_progress(self) -> None:
         label = f"{self.message}: " if self.message else ""
-        label = f" {label}{self._count}/{self.finalcount} "
-        pad = max(self.width - len(label), 0)
-        left = self.progresschar * (pad // 2)
-        right = self.progresschar * (pad - pad // 2)
-        self._output.write(f"\r{left}{label}{right}")
+        label = f"{label}{self._count}/{self.finalcount}"
+        self._output.write(
+            "\r" + center_message(label, self.width, self.progresschar))
         try:
             self._output.flush()
         except Exception:
@@ -292,18 +302,29 @@ class ProgressbarMultiProcessServer(ProgressbarDistributedServerBase):
         return int(sum(self._client_counts))
 
 
-class ProgressbarMultiProcessClient:
+class ProgressbarDistributedClientBase:
+    """Base for worker-side progress proxies: a picklable callable that
+    reports a count to the server (progressbar.py:1492-1514)."""
+
+    def __init__(self, client_id: int) -> None:
+        self.client_id = int(client_id)
+
+    def progress(self, count: int) -> None:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __call__(self, count: int) -> None:
+        self.progress(count)
+
+
+class ProgressbarMultiProcessClient(ProgressbarDistributedClientBase):
     """Proxy passed to a worker process; writes into the shared list."""
 
     def __init__(self, client_id: int, client_counts) -> None:
-        self.client_id = client_id
+        super().__init__(client_id)
         self._client_counts = client_counts
 
     def progress(self, count: int) -> None:
         self._client_counts[self.client_id] = int(count)
-
-    def __call__(self, count: int) -> None:
-        self.progress(count)
 
 
 class ProgressbarZMQServer(ProgressbarDistributedServerBase):
@@ -378,12 +399,12 @@ class ProgressbarZMQServer(ProgressbarDistributedServerBase):
         return int(sum(self._client_counts))
 
 
-class ProgressbarZMQClient:
+class ProgressbarZMQClient(ProgressbarDistributedClientBase):
     """Worker-side proxy: PUSHes ``"client_id:count"`` non-blockingly
     (LINGER=0, parity with progressbar.py:1904-1965)."""
 
     def __init__(self, client_id: int, ip: str, port: int) -> None:
-        self.client_id = int(client_id)
+        super().__init__(client_id)
         self.ip = ip
         self.port = int(port)
         self._socket = None
@@ -405,9 +426,6 @@ class ProgressbarZMQClient:
                                      flags=zmq.NOBLOCK)
         except zmq.ZMQError:  # pragma: no cover - full HWM: drop update
             pass
-
-    def __call__(self, count: int) -> None:
-        self.progress(count)
 
     def __getstate__(self):
         return {"client_id": self.client_id, "ip": self.ip,

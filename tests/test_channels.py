@@ -395,3 +395,17 @@ class TestAntennaGain:
                           10 ** ((14.0 - 20.0) / 10))
         with pytest.raises(ValueError):
             antennagain.AntGainBS3GPP25996(4)
+
+
+class TestPathLossHierarchy:
+    def test_indoor_outdoor_bases(self):
+        from pyphysim_tpu.channels.pathloss import (
+            PathLoss3GPP1, PathLossFreeSpace, PathLossGeneral,
+            PathLossIndoorBase, PathLossMetisPS7, PathLossOkomuraHata,
+            PathLossOutdoorBase)
+        for cls in (PathLossGeneral, PathLossFreeSpace, PathLoss3GPP1,
+                    PathLossOkomuraHata):
+            assert issubclass(cls, PathLossOutdoorBase)
+            assert cls.TYPE == "outdoor"
+        assert issubclass(PathLossMetisPS7, PathLossIndoorBase)
+        assert PathLossMetisPS7.TYPE == "indoor"

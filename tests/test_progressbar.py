@@ -99,3 +99,21 @@ class TestZMQProgress:
         c = ProgressbarZMQClient(3, "localhost", 7396)
         c2 = pickle.loads(pickle.dumps(c))
         assert (c2.client_id, c2.ip, c2.port) == (3, "localhost", 7396)
+
+
+class TestCenterMessage:
+    def test_reference_doctest(self):
+        from pyphysim_tpu.progressbar import center_message
+        # reference progressbar.py:105-108 doctest
+        assert center_message("Hello World", 50, "-", "Left", "Right") == \
+            "Left-------------- Hello World --------------Right"
+
+    def test_class_hierarchy(self):
+        from pyphysim_tpu.progressbar import (
+            ProgressbarDistributedClientBase, ProgressbarMultiProcessClient,
+            ProgressbarText, ProgressbarText2, ProgressbarText3,
+            ProgressbarTextBase, ProgressbarZMQClient)
+        for cls in (ProgressbarText, ProgressbarText2, ProgressbarText3):
+            assert issubclass(cls, ProgressbarTextBase)
+        for cls in (ProgressbarMultiProcessClient, ProgressbarZMQClient):
+            assert issubclass(cls, ProgressbarDistributedClientBase)
