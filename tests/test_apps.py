@@ -251,3 +251,25 @@ class TestGreedyStreamSelection:
         assert len(partials) == 8  # 2 SNR x 2 methods x 2 scenarios
         for p in partials:
             assert p.current_rep == 2
+
+
+class TestBatchedBDCapacityApp:
+    def test_waterfilling_beats_equal_power_at_low_snr(self):
+        from apps.comp_BD.batched_bd_capacity import BatchedBDCapacityRunner
+        caps = {}
+        for mode in ("global", "none"):
+            runner = BatchedBDCapacityRunner(mode)
+            runner.params.add("Pu_dB", np.array([-5.0, 10.0]))
+            runner.params.set_unpack_parameter("Pu_dB")
+            runner.rep_max = 64
+            runner.base_seed = 77  # same channels for both modes
+            runner.simulate()
+            caps[mode] = np.array(
+                runner.results.get_result_values_list("sum_capacity"))
+        assert np.all(caps["global"] > 0) and np.all(np.isfinite(
+            caps["global"]))
+        # water-filling can only help, most visibly at low power
+        assert caps["global"][0] >= caps["none"][0] - 1e-6
+        # capacity grows with power
+        for mode in caps:
+            assert caps[mode][1] > caps[mode][0]

@@ -432,3 +432,123 @@ class TestEnhancedAndWhiteningBD:
         cross = Wk_all[0] @ H[:2, :] @ Ms_all[1]
         same = Wk_all[0] @ H[:2, :] @ Ms_all[0]
         assert np.linalg.norm(cross) < 1e-4 * np.linalg.norm(same)
+
+
+class TestBatchedBlockDiagonalization:
+    """Device-batched BD cross-checked against the host BlockDiagonalizer
+    on every invariant the SVD basis freedom preserves."""
+
+    def _channels(self, batch=4, K=3, nr_u=2, nt_tot=6, seed=11):
+        rs = np.random.RandomState(seed)
+        return np.stack(
+            [randn_c_RS(rs, K * nr_u, nt_tot) for _ in range(batch)])
+
+    def test_normalized_matches_host(self):
+        import functools
+        import jax
+        from pyphysim_tpu.comm import (BlockDiagonalizer,
+                                       bd_precoders_batched,
+                                       bd_receive_filter_batched)
+        from pyphysim_tpu.ops import cplx
+        K, nr_u, iPu, nv = 3, 2, 1.5, 0.3
+        Hs = self._channels()
+        f = jax.jit(functools.partial(bd_precoders_batched, num_users=K,
+                                      iPu=iPu, noise_var=nv,
+                                      mode="normalized"))
+        newH, Ms, _ = f(cplx.from_numpy(Hs))
+        newH_n, Ms_n = newH.to_numpy(), Ms.to_numpy()
+        host = BlockDiagonalizer(K, iPu, nv)
+        for b in range(Hs.shape[0]):
+            nh_host, _ = host.block_diagonalize(Hs[b])
+            for i in range(K):
+                for j in range(K):
+                    blk = newH_n[b, i * nr_u:(i + 1) * nr_u,
+                                 j * 2:(j + 1) * 2]
+                    if i != j:  # interference nulled
+                        assert np.abs(blk).max() < 1e-4
+                    else:  # same effective per-user channel as the host
+                        s_dev = np.linalg.svd(blk, compute_uv=False)
+                        s_host = np.linalg.svd(
+                            nh_host[i * nr_u:(i + 1) * nr_u,
+                                    i * 2:(i + 1) * 2], compute_uv=False)
+                        assert np.allclose(np.sort(s_dev), np.sort(s_host),
+                                           atol=2e-3)
+            # power constraint: most-loaded BS transmits exactly iPu
+            norms = [np.linalg.norm(Ms_n[b][:, k * 2:(k + 1) * 2], "fro")
+                     for k in range(K)]
+            assert abs(max(norms) - np.sqrt(iPu)) < 1e-4
+
+        # ZF filter inverts every stream that received power (a stream
+        # clipped to zero by water-filling is correctly left at zero)
+        W = bd_receive_filter_batched(newH)
+        eye = cplx.matmul(W, newH).to_numpy()
+        powered = np.sum(np.abs(Ms_n) ** 2, axis=1) > 1e-6  # (batch, 6)
+        for b in range(Hs.shape[0]):
+            idx = np.where(powered[b])[0]
+            assert np.allclose(eye[b][np.ix_(idx, idx)],
+                               np.eye(idx.size), atol=1e-3)
+
+    def test_no_waterfilling_matches_host(self):
+        import functools
+        import jax
+        from pyphysim_tpu.comm import (BlockDiagonalizer,
+                                       bd_precoders_batched)
+        from pyphysim_tpu.ops import cplx
+        K, nr_u, iPu, nv = 3, 2, 1.5, 0.3
+        Hs = self._channels(seed=12)
+        f = jax.jit(functools.partial(bd_precoders_batched, num_users=K,
+                                      iPu=iPu, noise_var=nv, mode="none"))
+        newH, Ms, _ = f(cplx.from_numpy(Hs))
+        host = BlockDiagonalizer(K, iPu, nv)
+        for b in range(Hs.shape[0]):
+            nh_host, _ = host.block_diagonalize_no_waterfilling(Hs[b])
+            for k in range(K):
+                # every BS transmits exactly iPu
+                n_dev = np.linalg.norm(
+                    Ms.to_numpy()[b][:, k * 2:(k + 1) * 2], "fro")
+                assert abs(n_dev - np.sqrt(iPu)) < 1e-4
+                s_dev = np.linalg.svd(
+                    newH.to_numpy()[b, k * nr_u:(k + 1) * nr_u,
+                                    k * 2:(k + 1) * 2], compute_uv=False)
+                s_host = np.linalg.svd(
+                    nh_host[k * nr_u:(k + 1) * nr_u, k * 2:(k + 1) * 2],
+                    compute_uv=False)
+                assert np.allclose(np.sort(s_dev), np.sort(s_host),
+                                   atol=2e-3)
+
+    def test_global_waterfilling_power_allocation(self):
+        """Global mode reproduces the host's water-filled stream powers."""
+        import functools
+        import jax
+        from pyphysim_tpu.comm import BlockDiagonalizer, bd_precoders_batched
+        from pyphysim_tpu.comm import waterfilling
+        from pyphysim_tpu.ops import cplx
+        K, iPu, nv = 3, 1.5, 0.3
+        Hs = self._channels(batch=2, seed=13)
+        f = jax.jit(functools.partial(bd_precoders_batched, num_users=K,
+                                      iPu=iPu, noise_var=nv, mode="global"))
+        _, Ms, Sigma = f(cplx.from_numpy(Hs))
+        host = BlockDiagonalizer(K, iPu, nv)
+        for b in range(Hs.shape[0]):
+            _, sigma_host = host._calc_BD_matrix_no_power_scaling(Hs[b])
+            p_host = waterfilling.doWF(np.sort(sigma_host)[::-1] ** 2,
+                                       K * iPu, nv)[0]
+            # column power of Ms = water-filled power per stream
+            p_dev = np.sum(np.abs(Ms.to_numpy()[b]) ** 2, axis=0)
+            assert np.allclose(np.sort(p_dev)[::-1], np.sort(p_host)[::-1],
+                               atol=2e-3)
+            # Sigma matches the host's unscaled singular values
+            assert np.allclose(np.sort(Sigma[b]), np.sort(sigma_host),
+                               atol=2e-3)
+
+    def test_vmap_composes(self):
+        import jax
+        from pyphysim_tpu.comm import bd_precoders_batched
+        from pyphysim_tpu.ops import cplx
+        Hs = self._channels(batch=3, seed=14)
+        single = lambda h: bd_precoders_batched(h, 3, 1.0, 0.1, "none")[0]
+        batched = jax.vmap(single)(cplx.from_numpy(Hs))
+        for b in range(3):
+            one = single(cplx.from_numpy(Hs[b]))
+            assert np.allclose(batched.to_numpy()[b], one.to_numpy(),
+                               atol=1e-5)
