@@ -40,7 +40,26 @@ import numpy as np
 from .parameters import SimulationParameters
 from .results import Result, SimulationResults
 
-__all__ = ["SimulationRunner", "SkipThisOne", "get_common_parser"]
+__all__ = ["SimulationRunner", "SkipThisOne", "get_common_parser",
+           "get_partial_results_filename"]
+
+
+def get_partial_results_filename(
+        results_base_filename: str,
+        current_params: SimulationParameters,
+        partial_results_folder: Optional[str] = None) -> str:
+    """Name of the partial-results checkpoint file for one unpacked
+    variation: ``<base>_unpack_<i>.pickle`` with the index zero-padded to
+    the digit count of the total number of variations
+    (parity: runner.py:109-145)."""
+    total_unpacks = current_params.get_num_unpacked_variations()
+    num_digits = len(str(total_unpacks))
+    unpack_index_str = str(max(current_params.unpack_index, 0)).zfill(
+        num_digits)
+    filename = f"{results_base_filename}_unpack_{unpack_index_str}.pickle"
+    if partial_results_folder is not None:
+        filename = os.path.join(partial_results_folder, filename)
+    return filename
 
 
 class SkipThisOne(Exception):
@@ -210,14 +229,14 @@ class SimulationRunner:
         base = self._get_results_filename()
         if base is None:
             return None
-        name = (f"{os.path.basename(base)}_unpack_"
-                f"{current_params.unpack_index:02d}.pickle")
         folder = self.partial_results_folder
         if folder and not os.path.isabs(folder):
             # keep partials next to the results file (shared-filesystem
             # semantics of the reference, runner.py:1795-1805)
             folder = os.path.join(os.path.dirname(base), folder)
-        return os.path.join(folder or os.path.dirname(base), name)
+        return get_partial_results_filename(
+            os.path.basename(base), current_params,
+            folder or os.path.dirname(base))
 
     def _save_partial_results(self, current_rep: int,
                               current_params: SimulationParameters,

@@ -13,7 +13,8 @@ import pytest
 from pyphysim_tpu.simulations import (Result, SimulationParameters,
                                       SimulationResults, SimulationRunner,
                                       SkipThisOne,
-                                      combine_simulation_results)
+                                      combine_simulation_results,
+                                      get_partial_results_filename)
 from pyphysim_tpu.simulations.parameters import \
     combine_simulation_parameters
 from pyphysim_tpu.simulations.configobjvalidation import (
@@ -378,6 +379,27 @@ class _DummyBatchRunner(SimulationRunner):
         return kernel
 
 
+class TestGetPartialResultsFilename:
+    def test_padding_follows_variation_count(self):
+        # runner.py:109-145: the unpack index is zero-padded to the digit
+        # count of the total number of variations
+        p = SimulationParameters.create({"snr": np.arange(12), "m": 4})
+        p.set_unpack_parameter("snr")
+        variations = p.get_unpacked_params_list()
+        assert get_partial_results_filename("res", variations[3]) == \
+            "res_unpack_03.pickle"
+        assert get_partial_results_filename(
+            "res", variations[11], "some/folder") == \
+            os.path.join("some/folder", "res_unpack_11.pickle")
+
+    def test_single_digit_total(self):
+        p = SimulationParameters.create({"snr": np.arange(3)})
+        p.set_unpack_parameter("snr")
+        v = p.get_unpacked_params_list()[2]
+        assert get_partial_results_filename("res", v) == \
+            "res_unpack_2.pickle"
+
+
 class TestSimulationRunner:
     def test_serial_simulate(self):
         runner = _DummyRunner()
@@ -415,8 +437,10 @@ class TestSimulationRunner:
         runner.partial_results_folder = str(tmp_path / "partial")
         runner.simulate(param_variation_index=1)
         # only that variation's partial file exists; no final results file
+        # (index zero-padded to the digit count of the variation total,
+        # parity: runner.py:109-145)
         partials = os.listdir(runner.partial_results_folder)
-        assert partials == ["res_unpack_01.pickle"]
+        assert partials == ["res_unpack_1.pickle"]
 
     def test_checkpoint_resume(self, tmp_path):
         # run fully, then increase rep_max and simulate() again: only the
