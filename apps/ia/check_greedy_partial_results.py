@@ -28,7 +28,11 @@ def check_partials(full_results_name: str,
     num_variations = full_result.params.get_num_unpacked_variations()
 
     base = os.path.splitext(os.path.basename(full_results_name))[0]
-    name = os.path.join(partial_folder, base + "_unpack_{:0>2d}.pickle")
+    # index padded to the digit count of the variation total, exactly as
+    # the runner writes them (runner.py get_partial_results_filename)
+    digits = len(str(num_variations))
+    name = os.path.join(partial_folder,
+                        base + "_unpack_{:0>" + str(digits) + "d}.pickle")
 
     partials = []
     for i in range(num_variations):

@@ -92,6 +92,7 @@ class CellBase(shapes.Shape, AccessPoint):
                               rotation=rotation)
         self._users = []
         self.id = cell_id
+        self.id_fontsize: Optional[int] = None  # None -> matplotlib default
         self.plot_marker = "^"
         self.marker_color = "b"
         self._relative_pos = None
@@ -170,6 +171,9 @@ class CellBase(shapes.Shape, AccessPoint):
             _, ax = plt.subplots()
             ax.set_aspect("equal")
         shapes.Shape.plot(self, ax)
+        if self.id is not None:
+            ax.text(np.real(self.pos), np.imag(self.pos), str(self.id),
+                    ha="center", va="center", fontsize=self.id_fontsize)
         for user in self._users:
             user.plot_node(ax)
         if stand_alone:
@@ -369,6 +373,7 @@ class Cluster(shapes.Shape):
         self.cluster_id = cluster_id
         self._cell_radius = float(cell_radius)
         self._cell_type = cell_type
+        self._cell_id_fontsize: Optional[int] = None
         self._cells: List[CellBase] = []
         self._wrapped_cells: List[CellWrap] = []
 
@@ -389,6 +394,18 @@ class Cluster(shapes.Shape):
             else:
                 raise RuntimeError(f"Invalid cell type: '{cell_type}'")
         self._external_radius = self._calc_cluster_external_radius()
+
+    @property
+    def cell_id_fontsize(self) -> Optional[int]:
+        """Font size for cell IDs when plotting the cluster; propagated to
+        every cell (parity: cell.py:1504-1534)."""
+        return self._cell_id_fontsize
+
+    @cell_id_fontsize.setter
+    def cell_id_fontsize(self, value: Optional[int] = None) -> None:
+        self._cell_id_fontsize = value
+        for cell in self._cells:
+            cell.id_fontsize = value
 
     # -- geometry helpers --------------------------------------------------
 

@@ -243,6 +243,44 @@ class TdlImpulseResponse:
                    jnp.asarray(np.sin(phase) * keep, tv.dtype))
         return cplx.matmul(tvt, w, precision=jax.lax.Precision.HIGHEST)
 
+    @property
+    def tap_delays_sparse(self) -> np.ndarray:
+        """Tap delays in seconds (multiples of Ts;
+        parity: fading.py:430-440)."""
+        return self.tap_indexes_sparse * self.Ts
+
+    def plot_impulse_response(self) -> None:  # pragma: no cover
+        """3-D plot |tap| over (delay, time) (parity: fading.py:584-619)."""
+        import matplotlib.pyplot as plt
+        fig = plt.figure()
+        ax = fig.add_subplot(111, projection="3d")
+        dense = np.abs(cplx.to_numpy(self.tap_values))
+        x = np.arange(dense.shape[0])
+        for i in range(self.num_samples):
+            ax.plot(x, np.full(dense.shape[0], i), dense[..., i].reshape(
+                dense.shape[0], -1)[:, 0])
+        ax.set_xlabel("Taps (delay domain)")
+        ax.set_ylabel("Time Domain")
+        ax.set_zlabel("Channel Amplitude")
+        plt.show()
+
+    def plot_frequency_response(self, fft_size: int) -> None:  # pragma: no cover
+        """3-D plot |H(f)| over (frequency, time)
+        (parity: fading.py:621-652)."""
+        import matplotlib.pyplot as plt
+        fig = plt.figure()
+        ax = fig.add_subplot(111, projection="3d")
+        fr = np.abs(cplx.to_numpy(self.get_freq_response(fft_size)))
+        # our convention: (..., num_samples, fft_size)
+        fr2 = fr.reshape(-1, self.num_samples, fft_size)[0]
+        x = np.arange(fft_size)
+        for i in range(self.num_samples):
+            ax.plot(x, np.full(fft_size, i), fr2[i])
+        ax.set_xlabel("Frequency (FFT bins)")
+        ax.set_ylabel("Time Domain")
+        ax.set_zlabel("Channel Amplitude")
+        plt.show()
+
     def __mul__(self, value: float) -> "TdlImpulseResponse":
         return TdlImpulseResponse(self._tap_values_sparse * value,
                                   self._channel_profile)

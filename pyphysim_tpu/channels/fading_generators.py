@@ -63,10 +63,18 @@ class JakesState(NamedTuple):
 
 
 class FadingSampleGenerator:
-    """Base: configuration + the functional (state-threading) API."""
+    """Base: configuration + the functional (state-threading) API, plus
+    the reference's stateful host-convenience API
+    (``generate_more_samples``/``get_samples``/
+    ``skip_samples_for_next_generation``, fading_generators.py:156-205) —
+    the latter keeps an internal state pytree and returns numpy complex at
+    the host boundary."""
 
     def __init__(self, shape: Optional[Shape] = None) -> None:
         self._shape = _normalize_shape(shape) if shape is not None else None
+        self._state = None
+        self._samples: Optional[np.ndarray] = None
+        self._seed: Optional[int] = None
 
     @property
     def shape(self):
@@ -89,6 +97,48 @@ class FadingSampleGenerator:
 
     def get_similar_fading_generator(self):
         raise NotImplementedError  # pragma: no cover
+
+    # ------------------------------------------------------------------
+    # Stateful reference-style API (host convenience)
+    # ------------------------------------------------------------------
+
+    def set_seed(self, seed: int) -> None:
+        """(Re)seed the internal state used by the stateful API."""
+        self._seed = int(seed)
+        self._state = self.init_state(jax.random.PRNGKey(self._seed))
+
+    def _ensure_state(self) -> None:
+        if self._state is None:
+            if self._seed is None:
+                # fresh entropy per generator, like the reference's
+                # per-object RandomState (fading_generators.py:403-425)
+                self._seed = int(np.random.randint(0, 2**31 - 1))
+            self._state = self.init_state(jax.random.PRNGKey(self._seed))
+
+    def generate_more_samples(
+            self, num_samples: Optional[int] = None) -> None:
+        """Generate the next batch of samples into ``get_samples()``
+        (parity: fading_generators.py:166-181). With ``num_samples=None``
+        a single sample of shape ``self.shape`` is generated (no trailing
+        sample axis), matching the reference."""
+        self._ensure_state()
+        n = 1 if num_samples is None else int(num_samples)
+        samples, self._state = self.generate(self._state, n)
+        host = samples.to_numpy()
+        if num_samples is None:
+            host = host[..., 0]
+        self._samples = host
+
+    def get_samples(self) -> Optional[np.ndarray]:
+        """The samples from the last ``generate_more_samples`` call
+        (parity: fading_generators.py:156-164)."""
+        return self._samples
+
+    def skip_samples_for_next_generation(self, num_samples: int) -> None:
+        """Advance the generation process without generating samples
+        (parity: fading_generators.py:183-196)."""
+        self._ensure_state()
+        self._state = self.skip(self._state, num_samples)
 
 
 class RayleighSampleGenerator(FadingSampleGenerator):

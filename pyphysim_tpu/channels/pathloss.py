@@ -46,6 +46,11 @@ class PathLossBase:
         self.use_shadow_bool = False
         self.handle_small_distances_bool = False
 
+    @property
+    def type(self) -> str:
+        """'indoor' or 'outdoor' (parity: pathloss.py:93-96)."""
+        return self.TYPE
+
     # -- subclass API ------------------------------------------------------
 
     def _calc_deterministic_path_loss_dB(
@@ -219,6 +224,24 @@ class PathLossMetisPS7(PathLossIndoorBase):
 
     def _fc_ghz(self) -> float:
         return self._fc / 1e3
+
+    @staticmethod
+    def get_latex_repr(num_walls: Optional[int] = None) -> str:
+        """LaTeX equation ``PL = A log10(d) + B + C log10(fc/5) + X`` with
+        the coefficients for the given wall count (LOS when 0, NLOS when
+        > 0, symbolic when None; parity: pathloss.py:1081-1121 — whose X
+        disagrees with its own path loss formula at pathloss.py:1302; we
+        print the actual ``5(n_w - 1)`` the model computes)."""
+        if num_walls is None:
+            a, b, c, x = "A", "B", "C", "X"
+        elif num_walls == 0:
+            a, b, c, x = "18.7", "46.8", "20", "0"
+        elif num_walls > 0:
+            a, b, c, x = "36.8", "43.8", "20", str(5 * (num_walls - 1))
+        else:
+            raise ValueError("num_walls cannot be negative")
+        return (f"${a} \\log_{{10}}(d) + {b} + {c} \\log_{{10}}(f_c/5)"
+                f" + {x}$")
 
     def _calc_PS7_path_loss_dB_LOS_same_floor(self, d):
         xp = _xp(d)

@@ -342,6 +342,30 @@ class IASolverBaseClass:
             sinrs[l] = np.abs(num / den)
         return sinrs
 
+    def calc_SINR_old(self) -> np.ndarray:
+        """Deprecated per-stream SINR from the aggregate equalized powers
+        ``diag|W_H H F|^2`` over interference + noise amplification
+        (parity: iabase.py:717-766; kept because the reference keeps it —
+        use :meth:`calc_SINR` for the correct Bkl-based SINR)."""
+        K = self.K
+        out = np.empty(K, dtype=np.ndarray)
+        for j in range(K):
+            Wj_H = self.W_H[j]
+            numerator = 0.0
+            denominator = 0.0
+            for i in range(K):
+                aux = Wj_H @ self._get_channel(j, i) @ self.F[i]
+                if i == j:
+                    numerator = numerator + np.diag(
+                        np.abs(aux @ aux.conj().T))
+                else:
+                    denominator = denominator + aux
+            denominator = denominator @ denominator.conj().T
+            denominator = denominator + \
+                self.noise_var * (Wj_H @ Wj_H.conj().T)
+            out[j] = numerator / np.diag(np.abs(denominator))
+        return out
+
     def calc_SINR(self) -> np.ndarray:
         """Per-stream SINRs (linear) of all users."""
         out = np.empty(self.K, dtype=np.ndarray)

@@ -122,6 +122,21 @@ class MimoBase:
     def decode(self, received_data):  # pragma: no cover - abstract
         raise NotImplementedError
 
+    def calc_linear_SINRs(self, noise_var: float):
+        """Post-processing SINRs (linear) of the scheme's streams from its
+        precoder and receive filter (parity: mimo.py:311-329)."""
+        W = self._calc_precoder(self._channel)
+        try:
+            G_H = self._calc_receive_filter(self._channel, noise_var)
+        except TypeError:  # receive filter that does not take noise_var
+            G_H = self._calc_receive_filter(self._channel)
+        return calc_post_processing_linear_SINRs(self._channel, W, G_H,
+                                                 noise_var)
+
+    def calc_SINRs(self, noise_var: float):
+        """Post-processing SINRs in dB (parity: mimo.py:330-348)."""
+        return linear2dB(self.calc_linear_SINRs(noise_var))
+
 
 def _reshape_F(data: CArray, n_streams: int) -> CArray:
     """Column-major reshape of (..., n) to (..., n_streams, n/n_streams):

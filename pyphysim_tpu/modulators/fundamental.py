@@ -65,6 +65,21 @@ class Modulator:
         self._constellation = symbols
         self._constellation_dev = cplx.from_numpy(symbols)
 
+    def plotConstellation(self) -> None:  # pragma: no cover
+        """Scatter-plot the constellation with binary/decimal labels per
+        point (parity: fundamental.py:148-173)."""
+        import matplotlib.pyplot as plt
+        _, ax = plt.subplots()
+        ax.scatter(self.symbols.real, self.symbols.imag)
+        ax.axis("equal")
+        ax.grid()
+        for index, symbol in enumerate(self.symbols):
+            ax.text(symbol.real, symbol.imag + 0.03,
+                    f"{index:0{self._K}b} ({index})",
+                    verticalalignment="bottom",
+                    horizontalalignment="center")
+        plt.show()
+
     # -- properties --------------------------------------------------------
 
     @property

@@ -40,13 +40,24 @@ class OFDM:
 
     def __init__(self, fft_size: int, cp_size: int,
                  num_used_subcarriers: Optional[int] = None) -> None:
+        self.set_parameters(fft_size, cp_size, num_used_subcarriers)
+        # MXU precision for the (I)DFT matmuls: HIGHEST = true fp32
+        # (default), HIGH = 3-pass bf16, DEFAULT = single-pass bf16
+        # (fastest, ~0.4% relative error).
+        import jax as _jax
+        self.precision = _jax.lax.Precision.HIGHEST
+
+    def set_parameters(self, fft_size: int, cp_size: int,
+                       num_used_subcarriers: Optional[int] = None) -> None:
+        """(Re)set the OFDM parameters, validating them
+        (parity: ofdm.py:52-94)."""
         if num_used_subcarriers is None:
             num_used_subcarriers = fft_size
         if num_used_subcarriers > fft_size:
             raise ValueError(
                 "Number of used subcarriers cannot be greater than the "
                 "OFDM fft_size")
-        if num_used_subcarriers % 2 != 0:
+        if num_used_subcarriers % 2 != 0 or num_used_subcarriers < 2:
             raise ValueError("Number of used subcarriers must be a "
                              "multiple of 2")
         if cp_size < 0 or cp_size > fft_size:
@@ -56,11 +67,6 @@ class OFDM:
         self.cp_size = int(cp_size)
         self.num_used_subcarriers = int(num_used_subcarriers)
         self._used_idx = jnp.asarray(self.get_used_subcarrier_indexes())
-        # MXU precision for the (I)DFT matmuls: HIGHEST = true fp32
-        # (default), HIGH = 3-pass bf16, DEFAULT = single-pass bf16
-        # (fastest, ~0.4% relative error).
-        import jax as _jax
-        self.precision = _jax.lax.Precision.HIGHEST
 
     # -- layout helpers (host, parity with ofdm.py:188-281) ---------------
 

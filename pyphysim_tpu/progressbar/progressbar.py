@@ -70,14 +70,31 @@ class ProgressBarBase:
         self._start_time: Optional[float] = None
         self._stop_time: Optional[float] = None
         self._last_display_time = 0.0
+        self._display_interval = 0.1
         self._output = output if output is not None else sys.stdout
         self._finalized = False
 
     # -- timing ------------------------------------------------------------
 
     @property
+    def display_interval(self) -> float:
+        """Minimum seconds between display updates
+        (parity: progressbar.py:217-225)."""
+        return self._display_interval
+
+    @display_interval.setter
+    def display_interval(self, value: float) -> None:
+        self._display_interval = float(value)
+
+    @property
     def elapsed_time(self) -> str:
         return pretty_time(self._elapsed_seconds)
+
+    @property
+    def elapsed_time_in_seconds(self) -> float:
+        """Elapsed seconds since the first progress update
+        (parity: progressbar.py:227-243)."""
+        return self._elapsed_seconds
 
     @property
     def _elapsed_seconds(self) -> float:
@@ -85,6 +102,30 @@ class ProgressBarBase:
             return 0.0
         end = self._stop_time if self._stop_time is not None else time.time()
         return end - self._start_time
+
+    def get_eta_in_seconds(self) -> float:
+        """Estimated remaining seconds (parity: progressbar.py:245-251)."""
+        frac = self._count / self.finalcount if self.finalcount else 1.0
+        if frac <= 0:
+            return float("inf")
+        return self._elapsed_seconds * (1.0 - frac) / frac
+
+    def get_eta(self) -> str:
+        """Estimated remaining time, pretty-printed
+        (parity: progressbar.py:252-262)."""
+        return self.eta
+
+    def stop(self) -> None:
+        """Finalize the bar early: subsequent ``progress`` calls are
+        ignored (parity: progressbar.py:286-302)."""
+        if not self._finalized:
+            self._stop_time = time.time()
+            self._finalized = True
+            self._output.write("\n")
+            try:
+                self._output.flush()
+            except Exception:
+                pass
 
     @property
     def eta(self) -> str:
@@ -114,7 +155,7 @@ class ProgressBarBase:
                 self._output.flush()
             except Exception:
                 pass
-        elif now - self._last_display_time > 0.1:
+        elif now - self._last_display_time > self._display_interval:
             self._last_display_time = now
             self._display_current_progress()
 
@@ -241,6 +282,7 @@ class ProgressbarDistributedServerBase:
         self._sleep_time = float(sleep_time)
         self._style = style
         self._total_final_count = 0
+        self._client_counts: Any = []
         self._update_thread: Optional[threading.Thread] = None
         self._stop_event = threading.Event()
         self._bar: Optional[ProgressBarBase] = None
@@ -255,6 +297,25 @@ class ProgressbarDistributedServerBase:
     @property
     def total_final_count(self) -> int:
         return self._total_final_count
+
+    @property
+    def finalcount(self) -> int:
+        """Alias of ``total_final_count``
+        (parity: progressbar.py:1209-1219)."""
+        return self._total_final_count
+
+    @property
+    def is_running(self) -> bool:
+        """Whether the updater thread is alive
+        (parity: progressbar.py:1221-1223)."""
+        return (self._update_thread is not None
+                and self._update_thread.is_alive())
+
+    @property
+    def num_clients(self) -> int:
+        """Number of registered clients
+        (parity: progressbar.py:1225-1228)."""
+        return len(self._client_counts)
 
     def start_updater(self) -> None:
         """Start the daemon render thread."""

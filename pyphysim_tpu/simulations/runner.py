@@ -207,6 +207,12 @@ class SimulationRunner:
     def results_base_filename(self) -> Optional[str]:
         return self.__results_base_filename
 
+    @property
+    def results_filename(self) -> Optional[str]:
+        """Final results filename with ``{param}`` placeholders replaced
+        (parity: runner.py results_filename property)."""
+        return self._get_results_filename()
+
     def set_results_filename(self, filename: Optional[str] = None) -> None:
         """Set the base filename for final and partial results
         ( ``{param}`` templating supported)."""
@@ -373,6 +379,21 @@ class SimulationRunner:
 
     # alias matching the reference's "serial" nomenclature
     simulate_serially = simulate
+
+    def wait_parallel_simulation(self) -> None:
+        """Compat no-op: the reference's ipyparallel dispatch is
+        asynchronous and must be awaited (runner.py:1857-1886); the
+        TPU-sharded :meth:`simulate_in_parallel` is synchronous — when it
+        returns, results are already gathered."""
+
+    def simulate_common_cleaning(self) -> None:
+        """Finalize a simulation: save final results and delete partials
+        if requested (parity: runner.py:1621-1634). Called automatically
+        by :meth:`simulate`; public for reference compatibility."""
+        filename = self._get_results_filename()
+        if filename is not None:
+            self.results.save_to_file(filename)
+        self.__delete_partial_results_maybe()
 
     def simulate_in_parallel(self, mesh=None) -> None:
         """Run the sweep with repetitions sharded over a device mesh.

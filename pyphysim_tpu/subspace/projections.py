@@ -59,3 +59,14 @@ class Projection:
         if isinstance(self.oQ, CArray):
             return cplx.matmul(self.oQ, cplx.carray(M))
         return self.oQ @ M
+
+    # reference-named API (projections.py:46-94)
+    project = project_matrix
+    reflect = reflect_matrix
+    oProject = project_matrix_onto_orthogonal_space
+
+    # the reference exposes the helpers as staticmethods of the class too
+    # (projections.py:96-171)
+    calcProjectionMatrix = staticmethod(calcProjectionMatrix)
+    calcOrthogonalProjectionMatrix = staticmethod(
+        calcOrthogonalProjectionMatrix)

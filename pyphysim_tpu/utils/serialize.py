@@ -89,6 +89,15 @@ class JsonSerializable:
     def _from_dict(cls, d):  # pragma: no cover - abstract
         raise NotImplementedError
 
+    def to_dict(self):
+        """Public dict form (parity: serialize.py:135-145)."""
+        return self._to_dict()
+
+    @classmethod
+    def from_dict(cls, d):
+        """Construct from a dict (parity: serialize.py:165-179)."""
+        return cls._from_dict(d)
+
     def to_json(self, **kw) -> str:
         return dumps(self._to_dict(), **kw)
 

@@ -112,6 +112,15 @@ class TestCells:
 
 
 class TestCluster:
+    def test_cell_id_fontsize_propagates(self):
+        # cell.py:1504-1534: plot styling propagated to every cell
+        from pyphysim_tpu.cell import Cluster
+        cluster = Cluster(cell_radius=1.0, num_cells=7)
+        assert cluster.cell_id_fontsize is None
+        cluster.cell_id_fontsize = 12
+        assert cluster.cell_id_fontsize == 12
+        assert all(c.id_fontsize == 12 for c in cluster)
+
     def test_layouts(self):
         for n in (1, 3, 7, 13, 19):
             cl = Cluster(cell_radius=1.0, num_cells=n)

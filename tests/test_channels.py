@@ -37,6 +37,24 @@ class TestRayleighGenerator:
         s2, _ = gen.generate(st, 4)
         assert not np.allclose(s1.to_numpy(), s2.to_numpy())
 
+    def test_stateful_reference_api(self):
+        # fading_generators.py:156-205 stateful host API
+        gen = RayleighSampleGenerator(shape=(3, 2))
+        gen.set_seed(7)
+        assert gen.get_samples() is None
+        gen.generate_more_samples()          # num_samples=None: no axis
+        assert gen.get_samples().shape == (3, 2)
+        assert np.iscomplexobj(gen.get_samples())
+        gen.generate_more_samples(50)
+        a = gen.get_samples()
+        assert a.shape == (3, 2, 50)
+        gen.generate_more_samples(50)
+        assert not np.allclose(a, gen.get_samples())
+        # skip is statistically a no-op but must not fail
+        gen.skip_samples_for_next_generation(10)
+        gen.generate_more_samples(5)
+        assert gen.get_samples().shape == (3, 2, 5)
+
 
 class TestJakesGenerator:
     def test_statistics(self):
@@ -65,6 +83,29 @@ class TestJakesGenerator:
         sa, _ = gen.generate(st_a, 5)
         sb, _ = gen.generate(st_b, 5)
         assert np.allclose(sa.to_numpy(), sb.to_numpy(), atol=1e-4)
+
+    def test_stateful_api_matches_functional(self):
+        # stateful generate_more_samples(10)+(15) == functional generate(25)
+        gen = JakesSampleGenerator(Fd=50, Ts=1e-3, L=8, shape=2)
+        gen.set_seed(11)
+        gen.generate_more_samples(10)
+        a = gen.get_samples()
+        gen.generate_more_samples(15)
+        b = gen.get_samples()
+        full, _ = gen.generate(gen.init_state(jax.random.PRNGKey(11)), 25)
+        assert np.allclose(np.concatenate([a, b], axis=-1),
+                           full.to_numpy(), atol=1e-4)
+
+    def test_stateful_skip_advances_clock(self):
+        gen = JakesSampleGenerator(Fd=50, Ts=1e-3, L=8)
+        gen.set_seed(12)
+        gen.skip_samples_for_next_generation(10)
+        gen.generate_more_samples(5)
+        skipped = gen.get_samples()
+        st = gen.init_state(jax.random.PRNGKey(12))
+        _, st2 = gen.generate(st, 10)
+        expect, _ = gen.generate(st2, 5)
+        assert np.allclose(skipped, expect.to_numpy(), atol=1e-4)
 
     def test_temporal_correlation(self):
         # Jakes autocorrelation ~ J0(2 pi Fd tau): high at small lag
@@ -158,6 +199,15 @@ class TestTdlChannel:
         dense = ir.tap_values.to_numpy()
         assert dense.shape == (3, 5)
         assert np.allclose(dense[1], 0)
+
+    def test_tap_delays_sparse(self):
+        # fading.py:430-440: delays in seconds = indexes * Ts
+        gen = RayleighSampleGenerator()
+        ch = TdlChannel(gen, tap_powers_dB=np.array([0., -3.]),
+                        tap_delays=np.array([0., 2e-6]), Ts=1e-6)
+        ir, _ = ch.generate_impulse_response_f(
+            ch.init_state(jax.random.PRNGKey(0)), 2)
+        assert np.allclose(ir.tap_delays_sparse, [0.0, 2e-6])
 
     def test_freq_response_matches_fft(self):
         gen = RayleighSampleGenerator()
@@ -290,6 +340,20 @@ class TestTdlChannel:
 
 
 class TestPathLoss:
+    def test_type_property_and_latex(self):
+        # pathloss.py:93-96 / 1081-1121
+        assert pathloss.PathLossFreeSpace().type == "outdoor"
+        assert pathloss.PathLossMetisPS7().type == "indoor"
+        latex = pathloss.PathLossMetisPS7.get_latex_repr(None)
+        assert "A" in latex and latex.startswith("$")
+        los = pathloss.PathLossMetisPS7.get_latex_repr(0)
+        assert "18.7" in los and "+ 0" in los
+        nlos = pathloss.PathLossMetisPS7.get_latex_repr(3)
+        assert "36.8" in nlos and "+ 10" in nlos
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            pathloss.PathLossMetisPS7.get_latex_repr(-1)
+
     def test_general(self):
         pl = pathloss.PathLossGeneral(n=3.7, C=120)
         assert np.isclose(pl.calc_path_loss_dB(1.0), 120.0)

@@ -47,6 +47,16 @@ class TestClosedForm:
         with pytest.raises(AssertionError):
             solver.solve(Ns=1)
 
+    def test_calc_SINR_old(self):
+        # iabase.py:717-766: the deprecated aggregate SINR; with perfect
+        # alignment it must also report high SINR per stream
+        mu = make_channel(K=3, Nr=2, Nt=2, seed=1)
+        solver = ClosedFormIASolver(mu)
+        solver.solve(Ns=1)
+        old = solver.calc_SINR_old()
+        assert len(old) == 3
+        assert all(float(s) > 1e2 for s in np.hstack(old))
+
     def test_best_init_at_least_as_good(self):
         mu = make_channel(K=3, seed=2)
         best = ClosedFormIASolver(mu, use_best_init=True)

@@ -59,6 +59,15 @@ class TestBlast:
         with pytest.raises(ValueError):
             blast.set_noise_var(-1.0)
 
+    def test_calc_SINRs_dB_relation(self):
+        # mimo.py:311-348: calc_SINRs == linear2dB(calc_linear_SINRs)
+        blast = Blast(rand_channel(4, 3))
+        lin = np.asarray(blast.calc_linear_SINRs(0.01))
+        dB = np.asarray(blast.calc_SINRs(0.01))
+        assert lin.shape == (3,)
+        assert np.all(lin > 0)
+        assert np.allclose(dB, 10 * np.log10(lin), atol=1e-4)
+
     def test_batched_device_path(self):
         # 5 channels at once through the CArray path
         keys = jax.random.split(jax.random.PRNGKey(0), 2)

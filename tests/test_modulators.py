@@ -145,6 +145,19 @@ class TestOFDM:
         with pytest.raises(ValueError):
             OFDM(64, -2, 52)
 
+    def test_set_parameters(self):
+        # ofdm.py:52-94: re-set parameters with validation
+        ofdm = OFDM(64, 16, 52)
+        ofdm.set_parameters(128, 32, 100)
+        assert (ofdm.fft_size, ofdm.cp_size,
+                ofdm.num_used_subcarriers) == (128, 32, 100)
+        # derived subcarrier map follows the new parameters
+        assert len(ofdm.get_used_subcarrier_indexes()) == 100
+        with pytest.raises(ValueError):
+            ofdm.set_parameters(64, 65)  # cp > fft
+        ofdm.set_parameters(16, 4)       # default num_used = fft_size
+        assert ofdm.num_used_subcarriers == 16
+
     def test_used_subcarrier_indexes(self):
         # doctest values from the reference (ofdm.py:205-219)
         assert np.array_equal(OFDM(16, 4, 10).get_used_subcarrier_indexes(),

@@ -285,6 +285,24 @@ class TestProjections:
         assert np.allclose(Qc.to_numpy(), calcProjectionMatrix(A), atol=1e-4)
 
 
+class TestProjectionAliases:
+    def test_reference_named_methods(self):
+        # projections.py:46-171: project/oProject/reflect + staticmethods
+        from pyphysim_tpu.subspace.projections import Projection
+        rng = np.random.default_rng(0)
+        A = rng.standard_normal((4, 2)) + 1j * rng.standard_normal((4, 2))
+        v = rng.standard_normal((4, 1)) + 1j * rng.standard_normal((4, 1))
+        p = Projection(A)
+        assert np.allclose(p.project(v), p.project_matrix(v))
+        assert np.allclose(p.oProject(v),
+                           p.project_matrix_onto_orthogonal_space(v))
+        assert np.allclose(p.reflect(v), p.reflect_matrix(v))
+        # projected + orthogonal = original
+        assert np.allclose(p.project(v) + p.oProject(v), v)
+        Q = Projection.calcProjectionMatrix(A)
+        assert np.allclose(Q @ Q, Q, atol=1e-10)  # idempotent
+
+
 class TestSubspaceMetrics:
     # Values from the reference doctests (metrics.py:43-49,102-109,141-147)
     def test_principal_angles_known(self):

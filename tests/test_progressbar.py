@@ -52,6 +52,24 @@ class TestTextBars:
     def test_dummy(self):
         DummyProgressbar(123, whatever="ignored").progress(5)
 
+    def test_reference_timing_api(self):
+        # progressbar.py:217-302: display_interval / elapsed_time_in_seconds
+        # / get_eta(_in_seconds) / stop
+        out = io.StringIO()
+        bar = ProgressbarText(100, output=out)
+        assert bar.display_interval == 0.1
+        bar.display_interval = 0.5
+        assert bar.display_interval == 0.5
+        bar.progress(50)
+        assert bar.elapsed_time_in_seconds >= 0.0
+        assert bar.get_eta_in_seconds() >= 0.0
+        assert isinstance(bar.get_eta(), str)
+        bar.stop()
+        before = out.getvalue()
+        assert before.endswith("\n")
+        bar.progress(80)  # ignored after stop
+        assert out.getvalue() == before
+
 
 class TestMultiProcessServer:
     def test_aggregation(self):
@@ -60,6 +78,9 @@ class TestMultiProcessServer:
         p1 = server.register_client_and_get_proxy_progressbar(100)
         p2 = server.register_client_and_get_proxy_progressbar(100)
         assert server.total_final_count == 200
+        assert server.finalcount == 200       # progressbar.py:1209-1219
+        assert server.num_clients == 2        # progressbar.py:1225-1228
+        assert server.is_running is False     # progressbar.py:1221-1223
         server._bar = None
         p1.progress(60)
         p2(40)

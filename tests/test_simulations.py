@@ -442,6 +442,20 @@ class TestSimulationRunner:
         partials = os.listdir(runner.partial_results_folder)
         assert partials == ["res_unpack_1.pickle"]
 
+    def test_results_filename_and_cleaning(self, tmp_path):
+        # runner.py compat surface: results_filename property,
+        # simulate_common_cleaning, wait_parallel_simulation (no-op)
+        runner = _DummyRunner()
+        assert runner.results_filename is None
+        runner.set_results_filename(str(tmp_path / "res_{bias}"))
+        runner.simulate()
+        assert runner.results_filename.endswith(
+            f"res_{runner.params['bias']}")
+        runner.wait_parallel_simulation()  # synchronous backend: no-op
+        runner.simulate_common_cleaning()
+        assert os.path.exists(runner.results_filename + ".pickle") or \
+            os.path.exists(runner.results_filename)
+
     def test_checkpoint_resume(self, tmp_path):
         # run fully, then increase rep_max and simulate() again: only the
         # remaining reps run (reference notebook semantics)

@@ -311,6 +311,16 @@ class TestSerialize:
         assert np.allclose(y, x)
         assert y.dtype == np.complex64
 
+    def test_public_to_dict_from_dict(self):
+        # serialize.py:135-179: public wrappers over _to_dict/_from_dict
+        from pyphysim_tpu.simulations import Result
+        r = Result.create("ber", Result.RATIOTYPE, 3, 10)
+        d = r.to_dict()
+        assert isinstance(d, dict)
+        r2 = Result.from_dict(d)
+        assert r2.get_result() == r.get_result()
+        assert r2.name == "ber"
+
 
 class TestSeedReplay:
     def test_capture_and_replay(self, tmp_path):
