@@ -33,6 +33,8 @@ BASELINE_SYMBOLS_PER_SEC = 4.3e5  # reference, 1 CPU core (BASELINE.md)
 def bench_ofdm_tdl() -> float:
     import pyphysim_tpu.ops.fft as cfft
     cfft.FOUR_STEP_MIN = 10_000  # direct DFT matmul beats 4-step here
+    import pyphysim_tpu.channels.fading as fading
+    fading.BLOCK_CONV_IMPL = "fft"  # MXU freq-domain conv: 2.19 vs 1.78
     import __graft_entry__ as g
 
     # batch x num_symbols tuned on v5e: 128 x 19200 (a ~2.5M-sample

@@ -654,6 +654,14 @@ class TdlChannel:
         return self._last_impulse_response
 
 
+# Block-convolution backend: "pallas" (VMEM kernel, VPU), "fft" (per-block
+# frequency-domain product, MXU matmul-DFT), or "auto" (= fft). Both are
+# exact. Measured on v5e at the bench point (batch 128, block 564, span
+# 44): fft 2.19 Gsym/s vs pallas 1.78 — the matmul-DFT rides the MXU
+# while the per-tap MACs are VPU-bound. Re-benchmark before changing.
+BLOCK_CONV_IMPL = "auto"
+
+
 def tdl_filter_block_fft(ir_block: TdlImpulseResponse, signal: CArray,
                          block_size: int) -> CArray:
     """Block-static SISO TDL filtering via per-block frequency-domain
@@ -681,7 +689,10 @@ def tdl_filter_block_fft(ir_block: TdlImpulseResponse, signal: CArray,
     L = ((block_size + D - 1 + 127) // 128) * 128
 
     x_blocks = signal.reshape(nb, block_size)
-    if jax.default_backend() == "tpu":
+    impl = BLOCK_CONV_IMPL
+    if impl == "auto":
+        impl = "fft"
+    if impl == "pallas":
         # Pallas kernel: whole convolution in VMEM (read x, write y once).
         from ..ops.fir_pallas import block_fir
         y = block_fir(x_blocks, taps.swapaxes(-1, -2), idx.tolist(),

@@ -215,14 +215,30 @@ class OfdmOneTapEqualizer:
         # fraction of the FLOPs.
         if hasattr(impulse_response, "tap_values_sparse") and \
                 impulse_response.num_samples % n_sym == 0:
-            from ..channels.fading import TdlImpulseResponse
             taps = impulse_response.tap_values_sparse
             spb = taps.shape[-1] // n_sym
             taps_mean = taps.reshape(taps.shape[:-1] + (n_sym, spb)) \
-                .mean(axis=-1)
-            mean_ir = TdlImpulseResponse(
-                taps_mean, impulse_response.channel_profile)
-            mean_freq = mean_ir.get_freq_response(self._ofdm_obj.fft_size)
+                .mean(axis=-1)                   # (T, ..., n_sym)
+            # Sparse DFT evaluated ONLY at the used subcarrier bins, in
+            # the exact order the demodulated data lays them out — skips
+            # the (fft_size - num_used) unused bins AND the
+            # slice+concatenate reordering pass. Runs at the OFDM
+            # object's MXU precision.
+            o = self._ofdm_obj
+            idx = impulse_response.tap_indexes_sparse
+            bins = o.get_used_subcarrier_indexes() % o.fft_size
+            phase = (-2.0 * np.pi / o.fft_size) * np.outer(idx, bins)
+            keep = (idx < o.fft_size)[:, None]
+            w = CArray(jnp.asarray(np.cos(phase) * keep,
+                                   taps_mean.dtype),
+                       jnp.asarray(np.sin(phase) * keep,
+                                   taps_mean.dtype))        # (T, used)
+            perm = tuple(range(1, taps_mean.ndim)) + (0,)
+            tvt = taps_mean.transpose(perm)      # (..., n_sym, T)
+            h = cplx.matmul(tvt, w, precision=o.precision)
+            eq = d / h
+            eq = eq.reshape(batch + (n_sym * used,))
+            return eq.to_numpy() if host else eq
         else:
             freq = impulse_response.get_freq_response(
                 self._ofdm_obj.fft_size)

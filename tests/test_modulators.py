@@ -228,3 +228,28 @@ class TestOFDM:
 
         out = eq.equalize_data(demod, FlatIR())
         assert np.allclose(out.to_numpy(), x.to_numpy(), atol=1e-3)
+
+    def test_one_tap_equalizer_sparse_fast_path_exact(self):
+        # the used-bins sparse-DFT fast path must match the generic
+        # average-the-full-frequency-response path bit-for-bit in f32
+        from pyphysim_tpu.channels import (RayleighSampleGenerator,
+                                           TdlChannel)
+        ofdm = OFDM(64, 16, 52)
+        eq = OfdmOneTapEqualizer(ofdm)
+        ch = TdlChannel(RayleighSampleGenerator(),
+                        tap_powers_dB=np.array([0.0, -3.0, -6.0]),
+                        tap_delays=np.array([0.0, 3.0, 7.0]), Ts=1.0)
+        n_sym = 4
+        ir, _ = ch.generate_impulse_response_f(
+            ch.init_state(jax.random.PRNGKey(5)), n_sym)
+        data = misc.randn_c(jax.random.PRNGKey(6), n_sym * 52)
+
+        out_fast = eq.equalize_data(data, ir)
+
+        class GenericIR:  # hides tap_values_sparse -> generic path
+            def get_freq_response(self, fft_size):
+                return ir.get_freq_response(fft_size)
+
+        out_generic = eq.equalize_data(data, GenericIR())
+        assert np.allclose(out_fast.to_numpy(), out_generic.to_numpy(),
+                           atol=1e-5)
