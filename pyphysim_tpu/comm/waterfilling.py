@@ -24,6 +24,16 @@ def doWF(vtChannels: np.ndarray, dPt: float, noiseVar: float = 1.0,
     """Classic water-filling over parallel channel POWER gains.
 
     Returns ``(optimum_powers, water_level)``.
+
+    >>> import numpy as np
+    >>> p, mu = doWF(np.array([0.5, 1.0, 2.0]), dPt=10.0)
+    >>> p.round(4), round(mu, 4)
+    (array([2.5, 3.5, 4. ]), 4.5)
+    >>> float(p.sum())           # total power constraint holds
+    10.0
+    >>> p, _ = doWF(np.array([0.1, 10.0]), dPt=1.0)
+    >>> p                        # bad channel dropped entirely
+    array([0., 1.])
     """
     vtChannels = np.asarray(vtChannels, dtype=float)
     n = vtChannels.size

@@ -257,6 +257,15 @@ class QAM(Modulator):
     with real part increasing left->right and imaginary part decreasing
     top->bottom; the Gray permutation interleaves row/column Gray codes so
     horizontally/vertically adjacent points differ in exactly one bit.
+
+    >>> import numpy as np
+    >>> qam = QAM(16)
+    >>> qam.modulate(np.array([0]))
+    array([-0.9486833+0.9486833j])
+    >>> qam.demodulate(qam.modulate(np.array([0, 5, 10])))
+    array([ 0,  5, 10])
+    >>> float(np.mean(np.abs(qam.symbols) ** 2))  # unit average energy
+    1.0
     """
 
     def __init__(self, M: int) -> None:

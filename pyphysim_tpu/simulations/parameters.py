@@ -32,7 +32,25 @@ __all__ = ["SimulationParameters", "combine_simulation_parameters"]
 
 
 class SimulationParameters(serialize.JsonSerializable):
-    """Container of named simulation parameters with sweep support."""
+    """Container of named simulation parameters with sweep support.
+
+    Parameters marked with :meth:`set_unpack_parameter` become sweep axes;
+    :meth:`get_unpacked_params_list` yields the cartesian product, each
+    variation knowing its ``unpack_index``
+    (parity: parameters.py:113-754).
+
+    >>> import numpy as np
+    >>> p = SimulationParameters.create({"snr": np.array([0, 5, 10]),
+    ...                                  "m": 4})
+    >>> p.set_unpack_parameter("snr")
+    >>> p.get_num_unpacked_variations()
+    3
+    >>> variations = p.get_unpacked_params_list()
+    >>> int(variations[1]["snr"]), variations[1]["m"]
+    (5, 4)
+    >>> p.get_pack_indexes({"m": 4})    # all variations match m=4
+    array([0, 1, 2])
+    """
 
     def __init__(self) -> None:
         self.parameters: Dict[str, Any] = {}

@@ -44,6 +44,25 @@ class Result(serialize.JsonSerializable):
 
     Every update also feeds a running sum and squared sum of the
     *per-update result* so mean/variance/confidence intervals are free.
+
+    Example (mirrors the reference doctest at results.py:177-218):
+
+    >>> ber = Result.create("ber", Result.RATIOTYPE, 3, 100)
+    >>> ber.update(7, 100)
+    >>> ber.get_result()
+    0.05
+    >>> other = Result.create("ber", Result.RATIOTYPE, 10, 800)
+    >>> ber.merge(other)
+    >>> ber.get_result()
+    0.02
+    >>> errors = Result.create("errors", Result.SUMTYPE, 5)
+    >>> errors.update(8)
+    >>> errors.get_result()
+    13
+    >>> hist = Result("sel", Result.CHOICETYPE, choice_num=3)
+    >>> hist.update(0); hist.update(2); hist.update(2)
+    >>> hist.get_result().round(4)
+    array([0.3333, 0.    , 0.6667])
     """
 
     (SUMTYPE, RATIOTYPE, MISCTYPE, CHOICETYPE) = range(4)

@@ -55,7 +55,14 @@ def calc_chordal_distance_from_principal_angles(principalAngles):
 
 def calc_chordal_distance(matrix1, matrix2):
     """Chordal distance via orthonormal-basis outer products:
-    ``||Q1 Q1^H - Q2 Q2^H||_F / sqrt(2)`` (metrics.py:116-158)."""
+    ``||Q1 Q1^H - Q2 Q2^H||_F / sqrt(2)`` (metrics.py:116-158).
+
+    >>> import numpy as np
+    >>> A = np.array([[1., 2], [3, 4], [5, 6]])
+    >>> B = np.array([[1., 5], [3, 7], [5, -1]])
+    >>> round(calc_chordal_distance(A, B), 6)
+    0.516811
+    """
     if isinstance(matrix1, CArray) or isinstance(matrix2, CArray):
         q1 = cplx.qr(cplx._coerce(matrix1))[0]
         q2 = cplx.qr(cplx._coerce(matrix2))[0]
