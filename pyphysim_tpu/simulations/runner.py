@@ -488,10 +488,17 @@ class SimulationRunner:
 
     def _default_batch_size(self) -> int:
         if self.batch_size is not None:
-            return int(self.batch_size)
-        # One compile; chunks small enough for early-stop granularity but
-        # large enough to amortize dispatch.
-        return int(min(max(self.rep_max // 8, 1), 4096))
+            bsize = int(self.batch_size)
+        else:
+            # One compile; chunks small enough for early-stop granularity
+            # but large enough to amortize dispatch.
+            bsize = int(min(max(self.rep_max // 8, 1), 4096))
+        if self.mesh is not None:
+            # the key batch is sharded over the mesh axis: round up to a
+            # multiple of its size so the shards are even
+            n_dev = int(self.mesh.shape[self.mesh_axis])
+            bsize = ((bsize + n_dev - 1) // n_dev) * n_dev
+        return bsize
 
     def _batch_loop(self, kernel, current_params, current_results,
                     current_rep, pbar) -> int:
@@ -512,18 +519,22 @@ class SimulationRunner:
             batched = jax.jit(batched)
 
         # Deterministic, resumable key schedule: variation key folded from
-        # the base seed and unpack index; chunk keys folded from the chunk
-        # start so a resumed run continues the same stream.
+        # the base seed and unpack index; each repetition's key folded
+        # from its global rep index — INDEPENDENT of chunk/batch size, so
+        # serial, resumed and mesh-sharded runs of the same seed produce
+        # identical streams.
         var_key = jax.random.fold_in(
             jax.random.PRNGKey(self.base_seed),
             max(current_params.unpack_index, 0))
+        import jax.numpy as jnp
+        fold_batch = jax.jit(jax.vmap(
+            lambda i: jax.random.fold_in(var_key, i)))
 
         while current_rep < self.rep_max and self._keep_going(
                 current_params, current_results, current_rep):
             tic = time.time()
             n = min(bsize, self.rep_max - current_rep)
-            chunk_key = jax.random.fold_in(var_key, current_rep)
-            keys = jax.random.split(chunk_key, bsize)
+            keys = fold_batch(jnp.arange(current_rep, current_rep + bsize))
             out = batched(keys)
             out = jax.tree_util.tree_map(np.asarray, out)
             elapsed = time.time() - tic
