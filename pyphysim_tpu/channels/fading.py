@@ -582,38 +582,20 @@ class TdlChannel:
         in channel time."""
         gen = self._fading_generator
         if isinstance(gen, JakesSampleGenerator):
-            # Closed form z_b = exp(j(w(t0 + b stride Ts) + psi))
-            #            = z_0 * r^b with r = exp(j w stride Ts):
-            # evaluate TWO trig pairs per ray/tap and roll the powers out
-            # with an associative scan of unit-modulus complex products —
-            # log2(B) cheap multiply passes replace B trig evaluations.
+            # Closed form z_b = exp(j(w(t0 + b stride Ts) + psi)):
+            # evaluate the trig DIRECTLY for every block. Measured faster
+            # than rolling powers out with an associative scan of complex
+            # products (0.128 vs 0.166 ms at the bench point): the scan's
+            # log2(B) passes are HBM-bound while the VPU eats the
+            # transcendentals in one pass.
             from .fading_generators import JakesState
             w = 2.0 * np.pi * gen.Fd * jnp.cos(state.phi_l[..., 0])
-            z0 = cplx.cexp(w * state.t0 + state.psi_l[..., 0])  # (L, taps)
-            r = cplx.cexp(w * (stride * gen.Ts))
-            seq = CArray(
-                jnp.concatenate(
-                    [z0.re[..., None],
-                     jnp.broadcast_to(r.re[..., None],
-                                      r.shape + (num_blocks - 1,))],
-                    axis=-1),
-                jnp.concatenate(
-                    [z0.im[..., None],
-                     jnp.broadcast_to(r.im[..., None],
-                                      r.shape + (num_blocks - 1,))],
-                    axis=-1)) if num_blocks > 1 else \
-                CArray(z0.re[..., None], z0.im[..., None])
-
-            def cmul(a, b):
-                ar, ai = a
-                br, bi = b
-                return (ar * br - ai * bi, ar * bi + ai * br)
-
-            hr, hi = jax.lax.associative_scan(cmul, (seq.re, seq.im),
-                                              axis=-1)
+            t = state.t0 + jnp.arange(num_blocks) * (stride * gen.Ts)
+            phase = w[..., None] * t + state.psi_l[..., 0][..., None]
+            h = cplx.cexp(phase)                     # (L, taps, num_blocks)
             scale = math.sqrt(1.0 / gen.L)
-            samples = CArray(jnp.sum(hr, axis=0) * scale,
-                             jnp.sum(hi, axis=0) * scale)
+            samples = CArray(jnp.sum(h.re, axis=0) * scale,
+                             jnp.sum(h.im, axis=0) * scale)
             new_state = JakesState(
                 phi_l=state.phi_l, psi_l=state.psi_l,
                 t0=state.t0 + num_blocks * stride * gen.Ts)
@@ -701,13 +683,16 @@ def tdl_filter_block_fft(ir_block: TdlImpulseResponse, signal: CArray,
         # XLA path: per-block frequency-domain circular convolution.
         X = cfft.fft(x_blocks, n=L,
                      precision=jax.lax.Precision.DEFAULT)    # (nb, L)
-        # Kernel spectrum straight from the sparse taps:
-        # H[b, k] = sum_i taps[i, b] exp(-2j pi k d_i / L)
+        # Kernel spectrum straight from the sparse taps — computed in the
+        # SIGNAL dtype: with a bfloat16 signal path the product and the
+        # big inverse-DFT matmul then stay bf16 instead of silently
+        # promoting to f32 (a 3-6x MXU cost difference).
+        dt = signal.dtype
         k = np.arange(L)
         phase = -2.0 * np.pi / L * np.outer(idx, k)
-        w = CArray(jnp.asarray(np.cos(phase), taps.dtype),
-                   jnp.asarray(np.sin(phase), taps.dtype))   # (T, L)
-        H = cplx.matmul(taps.swapaxes(-1, -2), w)            # (nb, L)
+        w = CArray(jnp.asarray(np.cos(phase), dt),
+                   jnp.asarray(np.sin(phase), dt))           # (T, L)
+        H = cplx.matmul(taps.astype(dt).swapaxes(-1, -2), w)  # (nb, L)
         Y = X * H
         y = cfft.ifft(Y, precision=jax.lax.Precision.DEFAULT)  # (nb, L)
 
