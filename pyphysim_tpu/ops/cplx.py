@@ -339,15 +339,34 @@ def inv(a: CArray) -> CArray:
     return CArray(m[..., :n, :n], m[..., n:, :n])
 
 
-def pinv(a: CArray, rcond: float = 1e-6) -> CArray:
-    """Moore-Penrose pseudo-inverse via the complex SVD."""
+def pinv(a: CArray, rcond: float = 1e-3, refine: int = 2) -> CArray:
+    """Moore-Penrose pseudo-inverse via the complex SVD.
+
+    The Gram-route SVD squares the condition number, with two
+    consequences handled here:
+
+    * a RANK-DEFICIENT input's zero singular values come back as noise
+      of order ``sqrt(eps_f32) * s_max ~ 3e-4 * s_max`` — the truncation
+      cutoff must sit ABOVE that floor or garbage ``1/s`` enters, hence
+      the 1e-3 default (matrices conditioned worse than 1e3 should not
+      go through a f32 Gram-route pseudo-inverse anyway);
+    * the raw ``V s^-1 U^H`` carries O(eps * cond^2) error; ``refine``
+      Newton-Schulz steps ``W <- W (2I - A W)`` square that residual
+      away (two steps take a 1e-2 residual to ~1e-7) for two small
+      matmuls each. Refinement preserves the truncated subspace."""
     u, s, vh = svd(a, full_matrices=False)
     cutoff = rcond * jnp.max(s, axis=-1, keepdims=True)
     s_inv = jnp.where(s > cutoff, 1.0 / jnp.maximum(s, 1e-30), 0.0)
     # pinv = V s^-1 U^H
     v = vh.mH
-    return matmul(CArray(v.re * s_inv[..., None, :],
-                         v.im * s_inv[..., None, :]), u.mH)
+    w = matmul(CArray(v.re * s_inv[..., None, :],
+                      v.im * s_inv[..., None, :]), u.mH)
+    for _ in range(refine):
+        aw = matmul(a, w)
+        two_i = CArray(2.0 * eye(aw.shape[-1], dtype=aw.re.dtype).re
+                       - aw.re, -aw.im)
+        w = matmul(w, two_i)
+    return w
 
 
 def eigh(a: CArray, *, tie_break: bool = True):
@@ -372,8 +391,15 @@ def eigh(a: CArray, *, tie_break: bool = True):
     n = a.shape[-1]
     work = a
     if tie_break and n > 1:
-        scale = jnp.mean(jnp.abs(_diagonal(a.re)), axis=-1,
-                         keepdims=True) + 1e-6
+        # RELATIVE perturbation scale: an absolute floor here silently
+        # destroys the eigenvectors of small-normed matrices (a Gram
+        # matrix of a ~1e-7-scale channel has norm ~1e-13, far below any
+        # absolute epsilon). The Frobenius term covers zero-diagonal
+        # Hermitian matrices; 1e-30 only guards the all-zero matrix.
+        mag = jnp.mean(jnp.abs(_diagonal(a.re)), axis=-1, keepdims=True)
+        fro = jnp.sqrt(jnp.mean(a.re ** 2 + a.im ** 2,
+                                axis=(-2, -1)))[..., None]
+        scale = mag + fro + 1e-30
         grade = jnp.arange(n, dtype=a.re.dtype) * (1e-4 / n)
         work = CArray(a.re + _diag_embed(scale * grade), a.im)
     _, v2 = jnp.linalg.eigh(_embed(work))

@@ -131,6 +131,16 @@ class TestCompBDApps:
         sers = r.results.get_result_values_list("ser")
         assert len(sers) == 3  # one per Pe_dB point
 
+    def test_comp_simple_matches_reference_measurement(self):
+        # The reference records its own measured result in
+        # apps/comp_BD/simulate_comp_simple.py comments: SER ~= 0.0177
+        # at SNR 15 dB (runs ranged 0.0171-0.0184 over 15M symbols).
+        from apps.comp_BD.simulate_comp_simple import simulate
+        ser, ber, total = simulate(rep_max=400)
+        assert total == 1_200_000
+        assert 0.015 < ser < 0.021, ser
+        assert 0 < ber < ser
+
     def test_comp_ext_int_simple(self, monkeypatch, capsys):
         from apps.comp_BD.simulate_comp_with_ext_int_simple import main
         monkeypatch.setattr(sys, "argv", ["x", "--reps", "5"])

@@ -229,6 +229,24 @@ class TestLinalg:
         p = cplx.pinv(as_c(a)).to_numpy()
         assert np.allclose(p, np.linalg.pinv(a), atol=1e-2)
 
+    def test_pinv_scale_invariant(self):
+        # regression: eigh's tie-break perturbation must scale with the
+        # matrix — an absolute epsilon destroyed ~1e-7-scale channels
+        a = rand_c((6, 6), 13)
+        for scale in (1.0, 7.7e-7, 1e-8):
+            w = cplx.pinv(as_c(a * scale)).to_numpy()
+            resid = np.abs(w @ (a * scale) - np.eye(6)).max()
+            assert resid < 1e-4, (scale, resid)
+
+    def test_pinv_rank_deficient(self):
+        # the Gram route's junk singular values (~sqrt(eps) s_max) must
+        # be truncated, and refinement must preserve W A W = W
+        b = rand_c((6, 3), 14)
+        c = np.concatenate([b, b[:, :1]], axis=1)  # rank 3, 6x4
+        w = cplx.pinv(as_c(c)).to_numpy()
+        assert np.abs(w @ c @ w - w).max() < 1e-5
+        assert np.allclose(w, np.linalg.pinv(c), atol=1e-3)
+
 
 class TestFFT:
     @pytest.mark.parametrize("n", [8, 64, 52, 256, 512])
