@@ -169,8 +169,11 @@ class Shape(Coordinate):
 
 
 class Hexagon(Shape):
-    """Regular hexagon (flat-top orientation like the reference:
-    vertices at -30 + 60k degrees)."""
+    """Regular hexagon, reference orientation (shapes.py:582-604):
+    vertices at -120 + 60k degrees — flat top/bottom edges, vertices on
+    the x-axis. Border users placed by angle land on the same edge or
+    vertex as in the reference (a 30-degree-rotated hexagon changes
+    every geometry-driven scenario's path losses)."""
 
     @property
     def height(self) -> float:
@@ -178,8 +181,8 @@ class Hexagon(Shape):
         return self._radius * math.sqrt(3.0) / 2.0
 
     def _get_vertex_positions(self) -> np.ndarray:
-        angles = np.linspace(-math.pi / 6, 2 * math.pi - math.pi / 6, 6,
-                             endpoint=False)
+        angles = -2.0 * math.pi / 3.0 + \
+            np.arange(6) * (math.pi / 3.0)
         return self._radius * np.exp(1j * angles)
 
 

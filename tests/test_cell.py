@@ -29,12 +29,12 @@ class TestShapes:
         assert np.isclose(h.height, np.sqrt(3) / 2)
         assert h.is_point_inside_shape(0.1 + 0.1j)
         assert not h.is_point_inside_shape(2 + 0j)
-        # border point at angle 0 is at distance height..radius
+        # reference orientation (shapes.py:582-604): vertices on the
+        # x-axis, flat top/bottom edges
         bp = h.get_border_point(0.0, 1.0)
-        assert h.height - 1e-9 <= abs(bp) <= 1.0 + 1e-9
-        # at a vertex angle the border point is the vertex
-        bp30 = h.get_border_point(-30.0, 1.0)
-        assert np.isclose(abs(bp30), 1.0, atol=1e-9)
+        assert np.isclose(abs(bp), 1.0, atol=1e-9)  # 0 deg hits a vertex
+        bp90 = h.get_border_point(90.0, 1.0)
+        assert np.isclose(abs(bp90), h.height, atol=1e-9)  # edge middle
         # ratio scales linearly
         assert np.isclose(abs(h.get_border_point(0.0, 0.5)),
                           abs(bp) / 2)
