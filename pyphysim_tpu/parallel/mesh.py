@@ -16,7 +16,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-__all__ = ["make_mesh", "shard_batch", "init_multihost"]
+__all__ = ["make_mesh", "make_host_chip_mesh", "shard_batch",
+           "init_multihost"]
 
 
 def make_mesh(devices: Optional[Sequence] = None,
@@ -29,6 +30,26 @@ def make_mesh(devices: Optional[Sequence] = None,
     elif isinstance(devices, int):
         devices = jax.devices()[:devices]
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_host_chip_mesh(num_hosts: Optional[int] = None,
+                        axis_names: Sequence[str] = ("host", "chip"),
+                        devices: Optional[Sequence] = None) -> Mesh:
+    """A 2-D ``(host, chip)`` mesh: the outer axis crosses hosts (DCN),
+    the inner axis stays within a host (ICI). Shard the SNR sweep (or
+    realization super-batches) over ``host`` — one collective per sweep,
+    amortized over DCN — and realizations over ``chip`` where psum rides
+    ICI. On a single host, ``num_hosts`` splits the local devices into
+    virtual host groups (how the tests and the driver dry run exercise
+    the two-axis layout without a pod)."""
+    devices = np.asarray(jax.devices() if devices is None else devices)
+    if num_hosts is None:
+        num_hosts = max(jax.process_count(), 1)
+    if devices.size % num_hosts != 0:
+        raise ValueError(
+            f"{devices.size} devices do not split into {num_hosts} hosts")
+    grid = devices.reshape(num_hosts, devices.size // num_hosts)
+    return Mesh(grid, tuple(axis_names))
 
 
 def shard_batch(mesh: Mesh, x, axis_name: str = "mc"):

@@ -53,6 +53,23 @@ class TestMeshHelpers:
         sharded = shard_batch(mesh, x)
         assert sharded.sharding.num_devices == jax.device_count()
 
+    def test_make_host_chip_mesh(self):
+        from pyphysim_tpu.parallel import make_host_chip_mesh
+        mesh = make_host_chip_mesh(num_hosts=2)
+        assert mesh.axis_names == ("host", "chip")
+        assert mesh.shape["host"] == 2
+        assert mesh.shape["chip"] == jax.device_count() // 2
+        # a psum over 'chip' stays within a host group
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        x = jnp.ones((2, jax.device_count() // 2, 8))
+        x = jax.device_put(x, NamedSharding(mesh, P("host", "chip")))
+        with mesh:
+            total = jax.jit(lambda v: v.sum(axis=(1, 2)))(x)
+        assert np.allclose(np.asarray(total), 4 * jax.device_count())
+        import pytest
+        with pytest.raises(ValueError):
+            make_host_chip_mesh(num_hosts=3)  # 8 devices don't split by 3
+
 
 class TestParallelRunner:
     def test_parallel_matches_serial(self):
