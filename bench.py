@@ -3,9 +3,13 @@
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 Chain: 16-QAM -> OFDM(512, cp 52, 300 used) -> COST259-TU TDL with Jakes
-Doppler (block-static per OFDM symbol, frequency-domain overlap-add
-convolution) -> AWGN -> one-tap equalization -> hard demodulation -> BER
-count. Monte Carlo realizations vmapped into one jitted program.
+Doppler (block-static per OFDM symbol) -> AWGN -> one-tap equalization ->
+hard demodulation -> BER count. Monte Carlo realizations vmapped into one
+jitted program. Runs the fused OFDM-over-TDL path
+(ops/fused_ofdm_tdl.py): the CP both absorbs the convolution tail and is
+discarded, so TX and RX each collapse to ONE matmul and the AWGN is
+injected post-demodulation with the exactly equivalent variance — tests
+pin the fused path's outputs to the time-domain chain's.
 
 Measurement notes:
   * dispatch many steps and fetch ONE reduced scalar at the end — on the
@@ -37,21 +41,20 @@ def bench_ofdm_tdl() -> float:
     fading.BLOCK_CONV_IMPL = "fft"  # MXU freq-domain conv: 2.19 vs 1.78
     import __graft_entry__ as g
 
-    # batch x num_symbols tuned on v5e: 128 x 19200 (a ~2.5M-sample
-    # working set per step) beats larger batches and longer sequences —
-    # past full utilization a bigger footprint only adds HBM pressure.
-    # iters amortizes the relay's fixed ~24 ms dispatch+fetch latency
-    # (at 800 steps it costs <1.5%; at 30 it was 25% of the measurement).
-    batch = 128
-    num_symbols = 300 * 64
+    # batch x num_symbols tuned on v5e for the fused path: 512 x 4800
+    # (6.3 Gsym/s plateau; 128 x 19200 was the time-domain optimum).
+    # iters amortizes the relay's fixed ~24 ms dispatch+fetch latency —
+    # at ~0.39 ms/step, 2500 iters keeps it under 2.5%.
+    batch = 512
+    num_symbols = 300 * 16
     snr_db = 15.0
     step = g._make_chain_step(num_symbols=num_symbols, fft_size=512,
                               cp_size=52, num_used=300, block_static=True,
                               precision=jax.lax.Precision.DEFAULT,
-                              signal_dtype=jnp.bfloat16)
+                              signal_dtype=jnp.bfloat16, fused=True)
 
     snrs = jnp.full((batch,), 10 ** (snr_db / 10.0))
-    iters = 800
+    iters = 2500
 
     @jax.jit
     def run_many(base_key):
