@@ -78,6 +78,22 @@ class AccessPoint(Node):
         new_user.set_parent_pos(self.pos)
         self._users.append(new_user)
 
+    def plot(self, ax: Optional[Any] = None) -> None:  # pragma: no cover
+        """Plot the access point marker, its id and its users
+        (reference cell.py:292-311)."""
+        import matplotlib.pyplot as plt
+        stand_alone = ax is None
+        if ax is None:
+            _, ax = plt.subplots()
+        self.plot_node(ax)
+        if self.id is not None:
+            ax.text(np.real(self.pos), np.imag(self.pos), str(self.id),
+                    ha="center", va="center")
+        for user in self._users:
+            user.plot_node(ax)
+        if stand_alone:
+            plt.draw()
+
     def __repr__(self) -> str:
         return f"{self.__class__.__name__}(pos={self.pos},ap_id={self.id})"
 
@@ -659,6 +675,29 @@ class Cluster(shapes.Shape):
             wrap.plot(ax)
         if stand_alone:
             plt.show()
+
+    def plot_border(self, ax: Optional[Any] = None) -> None:  # pragma: no cover
+        """Plot only the outer border polygon of the Cluster
+        (reference cell.py:2150-2183; needs a computable outline,
+        i.e. cluster sizes 1, 7, 19...)."""
+        verts = self.vertices
+        if len(verts) == 0:
+            return
+        import matplotlib.pyplot as plt
+        from matplotlib import patches
+        stand_alone = ax is None
+        if ax is None:
+            _, ax = plt.subplots()
+            ax.set_aspect("equal")
+        polygon = patches.Polygon(
+            np.column_stack([verts.real, verts.imag]),
+            closed=True, facecolor="none", alpha=1, linewidth=2)
+        ax.add_patch(polygon)
+        if stand_alone:
+            ax.autoscale_view()
+            plt.show()
+        else:
+            ax.autoscale_view(False, True, True)
 
     def __repr__(self) -> str:
         return (f"Cluster(cell_radius={self._cell_radius},"

@@ -74,6 +74,11 @@ class ProgressBarBase:
         self._output = output if output is not None else sys.stdout
         self._finalized = False
 
+    @property
+    def n(self) -> int:
+        """Current count (reference progressbar.py:208-210)."""
+        return self._count
+
     # -- timing ------------------------------------------------------------
 
     @property

@@ -204,3 +204,24 @@ class TestPointProcess:
         assert np.all(np.abs(pts.real) <= 2.0)
         assert np.all(np.abs(pts.imag) <= 1.0)
         assert abs(np.mean(pts)) < 0.1
+
+
+class TestPlotting:
+    """Smoke tests for the matplotlib plotting surface (Agg backend)."""
+
+    def test_accesspoint_plot_and_cluster_border(self):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from pyphysim_tpu.cell.cell import AccessPoint
+
+        _, ax = plt.subplots()
+        ap = AccessPoint(1 + 2j, ap_id=3)
+        ap.add_user(Node(1.5 + 2j))
+        ap.plot(ax)
+
+        cl = Cluster(cell_radius=1.0, num_cells=7)
+        n_patches = len(ax.patches)
+        cl.plot_border(ax)
+        assert len(ax.patches) == n_patches + 1
+        plt.close("all")

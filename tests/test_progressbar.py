@@ -138,3 +138,11 @@ class TestCenterMessage:
             assert issubclass(cls, ProgressbarTextBase)
         for cls in (ProgressbarMultiProcessClient, ProgressbarZMQClient):
             assert issubclass(cls, ProgressbarDistributedClientBase)
+
+
+class TestCountProperty:
+    def test_n_tracks_progress(self):
+        bar = ProgressbarText(10, output=io.StringIO())
+        assert bar.n == 0
+        bar.progress(4)
+        assert bar.n == 4
