@@ -53,11 +53,31 @@ class TestFusedExactness:
         eq_f = OfdmOneTapEqualizer(ofdm).equalize_data(rx_f, ir_f)
         assert np.allclose(eq_f.to_numpy(), eq_t.to_numpy(), atol=5e-4)
 
+    def test_diag_matches_spectrum_mode(self):
+        # The diagonal collapse (per-used-bin multiply by the channel
+        # frequency response) must be bit-close to the explicit
+        # conv-spectrum matmul pair for the same channel state.
+        qam, ofdm, channel, n = _setup()
+        key = jax.random.PRNGKey(3)
+        k1, k2 = jax.random.split(key)
+        tx = qam.modulate(random_symbols(k1, n, qam.K))
+        state = channel.init_state(k2)
+        r_diag, _, _ = FusedOfdmTdl(ofdm, channel, mode="diag") \
+            .corrupt_and_demodulate(state, tx)
+        r_spec, _, _ = FusedOfdmTdl(ofdm, channel, mode="spectrum") \
+            .corrupt_and_demodulate(state, tx)
+        assert np.allclose(r_diag.to_numpy(), r_spec.to_numpy(), atol=1e-5)
+
     def test_rejects_short_cp(self):
         qam, ofdm, channel, _ = _setup()
         short = OFDM(256, 16, 192)  # cp < span - 1
         with pytest.raises(ValueError):
             FusedOfdmTdl(short, channel)
+
+    def test_rejects_unknown_mode(self):
+        qam, ofdm, channel, _ = _setup()
+        with pytest.raises(ValueError):
+            FusedOfdmTdl(ofdm, channel, mode="bogus")
 
     def test_noise_gain_equals_demodulated_noise_std(self):
         # the claim behind post-demod noise injection: unit-variance time
