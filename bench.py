@@ -42,9 +42,10 @@ def bench_ofdm_tdl() -> float:
     import __graft_entry__ as g
 
     # batch x num_symbols tuned on v5e for the fused path: 512 x 4800
-    # (6.3 Gsym/s plateau; 128 x 19200 was the time-domain optimum).
-    # iters amortizes the relay's fixed ~24 ms dispatch+fetch latency —
-    # at ~0.39 ms/step, 2500 iters keeps it under 2.5%.
+    # (10.7 Gsym/s with the diag collapse; 1024 x 4800 measures the same,
+    # 128 x 19200 was the time-domain optimum). iters amortizes the
+    # relay's fixed ~24 ms dispatch+fetch latency — at ~0.23 ms/step,
+    # 2500 iters keeps it under 5%.
     batch = 512
     num_symbols = 300 * 16
     snr_db = 15.0
