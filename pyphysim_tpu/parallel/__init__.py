@@ -2,6 +2,6 @@
 reduction, and multi-host initialization (TPU-native replacement of the
 reference's ipyparallel task farming)."""
 
-from .mesh import (make_host_chip_mesh, make_mesh,  # noqa: F401
-                   shard_batch)
+from .mesh import (init_multihost, make_host_chip_mesh,  # noqa: F401
+                   make_mesh, shard_batch)
 from .timeshard import corrupt_data_time_sharded  # noqa: F401
