@@ -66,7 +66,7 @@ class CompBDSimulationRunner(SimulationRunner):
 
         errors, total = 0, 0
         for k in range(self.K):
-            eq = Wk[k] @ out[k].to_numpy()
+            eq = Wk[k] @ out[k]  # numpy in -> numpy out
             decided = self.qam.demodulate(eq)
             errors += int(np.sum(decided != data[k]))
             total += decided.size

@@ -184,7 +184,8 @@ class IAStreamSelSimulationRunner(SimulationRunner):
                     for k in range(K)]
 
         received = self.multiUserChannel.corrupt_data(precoded)
-        received = [r.to_numpy() for r in received]
+        received = [r.to_numpy() if hasattr(r, "to_numpy") else r
+                    for r in received]
         no_interf = [self.ia_solver.full_W_H[k] @ received[k]
                      for k in range(K)]
         demodulated = np.asarray(

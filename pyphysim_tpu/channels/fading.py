@@ -453,7 +453,7 @@ class TdlChannel:
                                                          block_size)
             self._state = new_state
             self._last_impulse_response = ir
-            return out
+            return cplx.to_host_like(out, signal)
         return self._corrupt_data_impl(state_or_signal, signal, block_size)
 
     def _generate_ir_maybe_block_static(self, state, num_symbols: int,
@@ -527,7 +527,7 @@ class TdlChannel:
                 state, cplx.carray(sig), fft_size_c, carrier_indexes)
             self._state = new_state
             self._last_impulse_response = ir
-            return out
+            return cplx.to_host_like(out, sig)
         return self._corrupt_freq_impl(state_or_signal, cplx.carray(signal),
                                        fft_size, carrier_indexes)
 

@@ -161,7 +161,7 @@ class MuChannel:
             states = self._ensure_states()
             out, irs, new_states = self._corrupt_impl(states, signal)
             self._store_states_and_irs(new_states, irs)
-            return out
+            return cplx.to_host_like(out, signal)
         out, irs, states = self._corrupt_impl(state_or_signal, signal)
         return out, irs, states
 
@@ -195,7 +195,7 @@ class MuChannel:
             out, irs, new_states = self._corrupt_freq_impl(
                 states, sig, fft_size_c, carrier_idx)
             self._store_states_and_irs(new_states, irs)
-            return out
+            return cplx.to_host_like(out, sig)
         out, irs, states = self._corrupt_freq_impl(
             state_or_signal, signal, fft_size, carrier_indexes)
         return out, irs, states
@@ -449,6 +449,7 @@ class MultiUserChannelMatrix:
                                   key: Optional[jax.Array] = None) -> CArray:
         """``big_H @ data + noise`` (+ optional block-diagonal post filter)
         (multiuser.py:1179-1221). ``data``: (sum Nt, n)."""
+        host_like = data
         data = cplx.carray(data)
         out = cplx.matmul(self.big_H, data)
         if self.noise_var is not None and self.noise_var > 0:
@@ -461,7 +462,7 @@ class MultiUserChannelMatrix:
             self._last_noise = None
         if self._W is not None:
             out = cplx.matmul(self.big_W, out)
-        return out
+        return cplx.to_host_like(out, host_like)
 
     def corrupt_data(self, data, key: Optional[jax.Array] = None):
         """Per-user variant: ``data`` is a list of (Nt_k, n) arrays;
@@ -471,7 +472,7 @@ class MultiUserChannelMatrix:
         out = []
         for k in range(self._K):
             out.append(big_out[..., self._rx_off[k]:self._rx_off[k + 1], :])
-        return out
+        return cplx.to_host_like(out, data)
 
     # -- covariances and SINRs (Cadambe2008 eq. 28) ------------------------
 
@@ -747,7 +748,7 @@ class MultiUserChannelMatrixExtInt(MultiUserChannelMatrix):
         out = []
         for k in range(self.K):
             out.append(big_out[..., self._rx_off[k]:self._rx_off[k + 1], :])
-        return out
+        return cplx.to_host_like(out, data)
 
     # -- external interference covariance ---------------------------------
 

@@ -228,6 +228,23 @@ def to_numpy(x: CArray) -> np.ndarray:
     return x.to_numpy()
 
 
+def to_host_like(out, like):
+    """Mirror the host boundary: when ``like`` (the user's input) was a
+    host numpy array, convert ``out`` (CArray or nested list of CArrays)
+    to numpy complex; device inputs keep device outputs. Used by the
+    stateful convenience forms of the channel classes so that
+    reference-style numpy-in/numpy-out code works unchanged."""
+    if not isinstance(like, CArray) and isinstance(like, (list, tuple)):
+        like = like[0] if len(like) else None
+    if not isinstance(like, np.ndarray):
+        return out
+    if isinstance(out, CArray):
+        return out.to_numpy()
+    if isinstance(out, (list, tuple)):
+        return [to_host_like(o, like) for o in out]
+    return out
+
+
 def zeros(shape, dtype=jnp.float32) -> CArray:
     return CArray(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 

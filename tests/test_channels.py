@@ -473,3 +473,71 @@ class TestPathLossHierarchy:
             assert cls.TYPE == "outdoor"
         assert issubclass(PathLossMetisPS7, PathLossIndoorBase)
         assert PathLossMetisPS7.TYPE == "indoor"
+
+
+class TestHostBoundary:
+    """Stateful convenience forms mirror the host boundary: numpy-complex
+    in -> numpy-complex out (reference-style code works unchanged);
+    device CArray in -> CArray out."""
+
+    def _channel(self):
+        gen = JakesSampleGenerator(Fd=30, Ts=3.25e-8, L=8)
+        ch = TdlChannel(gen, channel_profile=COST259_TUx)
+        ch.seed(0)
+        return ch
+
+    def test_tdl_numpy_in_numpy_out(self):
+        ch = self._channel()
+        rng = np.random.RandomState(3)
+        x = rng.randn(32) + 1j * rng.randn(32)
+        out = ch.corrupt_data(x)
+        assert isinstance(out, np.ndarray) and np.iscomplexobj(out)
+        assert out.shape == (32 + ch.num_taps_with_padding - 1,)
+        # identical numerics to the CArray path on the same seed
+        ch2 = self._channel()
+        out2 = ch2.corrupt_data(cplx.carray(x))
+        assert isinstance(out2, cplx.CArray)
+        np.testing.assert_allclose(out, out2.to_numpy(), rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_tdl_freq_domain_numpy_in_numpy_out(self):
+        ch = self._channel()
+        rng = np.random.RandomState(4)
+        x = rng.randn(64) + 1j * rng.randn(64)
+        out = ch.corrupt_data_in_freq_domain(x, 16)
+        assert isinstance(out, np.ndarray) and np.iscomplexobj(out)
+        assert out.shape == (64,)
+
+    def test_su_mu_numpy_in_numpy_out(self):
+        from pyphysim_tpu.channels.multiuser import MuChannel
+        from pyphysim_tpu.channels.singleuser import SuChannel
+        su = SuChannel()
+        su.seed(1)
+        rng = np.random.RandomState(5)
+        x = rng.randn(20) + 1j * rng.randn(20)
+        out = su.corrupt_data(x)
+        assert isinstance(out, np.ndarray) and np.iscomplexobj(out)
+
+        mu = MuChannel(N=2)
+        mu.seed(2)
+        xs = [rng.randn(16) + 1j * rng.randn(16) for _ in range(2)]
+        outs = mu.corrupt_data(xs)
+        assert isinstance(outs, list) and len(outs) == 2
+        assert all(isinstance(o, np.ndarray) and np.iscomplexobj(o)
+                   for o in outs)
+
+    def test_multiuser_matrix_numpy_in_numpy_out(self):
+        from pyphysim_tpu.channels.multiuser import MultiUserChannelMatrix
+        m = MultiUserChannelMatrix()
+        m.randomize(np.array([2, 2]), np.array([2, 2]), 2)
+        rng = np.random.RandomState(6)
+        data = [rng.randn(2, 8) + 1j * rng.randn(2, 8) for _ in range(2)]
+        outs = m.corrupt_data(data)
+        assert all(isinstance(o, np.ndarray) and np.iscomplexobj(o)
+                   for o in outs)
+        concat = np.concatenate(data, axis=0)
+        big = m.corrupt_concatenated_data(concat)
+        assert isinstance(big, np.ndarray) and np.iscomplexobj(big)
+        # device input keeps device output
+        big2 = m.corrupt_concatenated_data(cplx.carray(concat))
+        assert isinstance(big2, cplx.CArray)
