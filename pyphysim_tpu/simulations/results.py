@@ -216,12 +216,21 @@ class Result(serialize.JsonSerializable):
             totals = np.asarray(totals)
             self._value += values.sum()
             self._total += totals.sum()
-            r = values / totals
+            # Zero-total rows (masked/empty repetitions emitted by a
+            # device kernel) contribute nothing to the per-update ratio
+            # statistics: a 0/0 division would silently poison the
+            # running mean/variance/CI with NaN. They still count into
+            # the aggregate numerator/denominator above (adding v and 0)
+            # but are excluded from num_updates so the mean stays the
+            # mean of *measured* repetitions.
+            nz = totals != 0
+            r = values[nz] / totals[nz]
             self._result_sum += float(r.sum())
             self._result_squared_sum += float((r ** 2).sum())
+            n = int(np.count_nonzero(nz))
             if self._accumulate_values_bool:
-                self._value_list.extend(values.tolist())
-                self._total_list.extend(totals.tolist())
+                self._value_list.extend(values[nz].tolist())
+                self._total_list.extend(totals[nz].tolist())
         elif t == Result.MISCTYPE:
             self._value = values[-1]
             if self._accumulate_values_bool:

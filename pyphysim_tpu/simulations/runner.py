@@ -24,6 +24,28 @@ integration), re-architected for TPU execution:
     With a device mesh (``runner.mesh``), the key batch is sharded across
     devices (the reference's ipyparallel data-parallelism, P2 in SURVEY
     §2.11, replaced by XLA sharding).
+
+    Two refinements mirror the reference's remaining loop semantics on
+    the batch path:
+
+    - **Masked skip** (reference ``SkipThisOne``, runner.py:151-185 and
+      the rep-loop handling at runner.py:1491-1517): a kernel may return
+      a boolean under the reserved key ``"__valid__"``. Invalid
+      repetitions are excluded from every Result, counted into
+      ``num_skipped_reps``, and automatically retried with FRESH fold_in
+      indices — the runner keeps an *attempt cursor* separate from the
+      accepted-repetition count, so the accepted set is exactly "the
+      first ``rep_max`` valid attempts" no matter how the attempts are
+      chunked, sharded or resumed.
+
+    - **On-device early stop** (SURVEY §7 "early stop without
+      divergence"): setting ``self.batch_stop_criterion = (name, limit)``
+      makes each dispatched chunk run as a ``lax.scan`` over sub-chunks
+      whose kernel work is gated by ``lax.cond`` on the accumulated
+      value of result ``name`` — once the limit is crossed the remaining
+      sub-chunks execute no kernel FLOPs at all, so a high-SNR sweep
+      point stops within ``chunk/num_stop_subchunks`` repetitions of its
+      threshold instead of overshooting by a whole host chunk.
 """
 
 from __future__ import annotations
@@ -95,6 +117,18 @@ def get_common_parser() -> argparse.ArgumentParser:
     return _common_parser
 
 
+class _OffsetProgressProxy:
+    """Adapter mapping a variation's local repetition count into a
+    runner-global count on a shared progress-server proxy."""
+
+    def __init__(self, proxy, offset: int) -> None:
+        self._proxy = proxy
+        self._offset = int(offset)
+
+    def progress(self, count: int) -> None:
+        self._proxy.progress(self._offset + int(count))
+
+
 class SimulationRunner:
     """Monte Carlo engine: parameter sweep x repetitions -> typed results."""
 
@@ -119,6 +153,7 @@ class SimulationRunner:
         self.__results_base_filename: Optional[str] = None
         self.__partial_files_to_delete: List[Path] = []
         self.__last_checkpoint_time = time.time()
+        self.__last_checkpoint_rep = 0
 
         # TPU batch execution
         self.batch_size: Optional[int] = None  # auto if None
@@ -126,6 +161,17 @@ class SimulationRunner:
         self.mesh = None          # optional jax.sharding.Mesh
         self.mesh_axis = "mc"     # axis name used for key sharding
         self.base_seed = 1234
+        # On-device early stop: (result_name, limit) stops a variation
+        # once the ACCUMULATED raw value of that (SUMTYPE, or RATIOTYPE
+        # numerator) result crosses ``limit`` — at sub-chunk granularity
+        # inside the compiled program, not just between host chunks.
+        self.batch_stop_criterion: Optional[Tuple[str, float]] = None
+        self.num_stop_subchunks = 8
+
+        # Shared-progress-server proxy installed by the multi-runner
+        # launcher (simulationhelpers._simulate_multiple); overrides the
+        # per-variation progress bars when set.
+        self.external_progress_proxy = None
 
         # Command line integration (parity: runner.py:685-758)
         self.command_line_args = argparse.Namespace(
@@ -262,13 +308,16 @@ class SimulationRunner:
             self, current_rep: int, current_params: SimulationParameters,
             current_sim_results: SimulationResults) -> None:
         """Throttled checkpoint: every 500 reps or 300 s
-        (parity: runner.py:996-1017)."""
+        (parity: runner.py:996-1017). The rep throttle fires on CROSSING
+        a multiple of 500, not on exact equality — batch chunks whose
+        size does not divide 500 would otherwise never trigger it."""
         now = time.time()
         if now - self.__last_checkpoint_time > 300 or \
-                current_rep % 500 == 0:
+                current_rep // 500 > self.__last_checkpoint_rep // 500:
             self._save_partial_results(current_rep, current_params,
                                        current_sim_results)
             self.__last_checkpoint_time = now
+            self.__last_checkpoint_rep = current_rep
 
     def _load_partial_results(
             self, current_params: SimulationParameters
@@ -301,6 +350,11 @@ class SimulationRunner:
 
     def _get_progress_bar(self, variation_index: int, num_variations: int,
                           rep_max: int, current_params=None):
+        if self.external_progress_proxy is not None:
+            # Multi-runner mode (simulationhelpers): one proxy covers the
+            # whole runner; per-variation counts are offset into it.
+            return _OffsetProgressProxy(self.external_progress_proxy,
+                                        variation_index * rep_max)
         from ..progressbar import (DummyProgressbar, ProgressbarText,
                                    ProgressbarText2, ProgressbarText3)
         styles = {"text1": ProgressbarText, "text2": ProgressbarText2,
@@ -429,6 +483,7 @@ class SimulationRunner:
         else:
             current_results = SimulationResults()
             current_rep = 0
+        self.__last_checkpoint_rep = current_rep
 
         pbar = self._get_progress_bar(variation_index, num_variations,
                                       self.rep_max, current_params)
@@ -493,16 +548,128 @@ class SimulationRunner:
             # One compile; chunks small enough for early-stop granularity
             # but large enough to amortize dispatch.
             bsize = int(min(max(self.rep_max // 8, 1), 4096))
+        return self._round_chunk(bsize)
+
+    def _chunk_quantum(self) -> int:
+        """Chunk sizes must be a multiple of this: the mesh axis size
+        (even shards) times the early-stop sub-chunk count (even scan)."""
+        q = 1
         if self.mesh is not None:
-            # the key batch is sharded over the mesh axis: round up to a
-            # multiple of its size so the shards are even
-            n_dev = int(self.mesh.shape[self.mesh_axis])
-            bsize = ((bsize + n_dev - 1) // n_dev) * n_dev
-        return bsize
+            q *= int(self.mesh.shape[self.mesh_axis])
+        if self.batch_stop_criterion is not None:
+            q *= max(int(self.num_stop_subchunks), 1)
+        return q
+
+    def _round_chunk(self, n: int) -> int:
+        q = self._chunk_quantum()
+        return ((max(int(n), 1) + q - 1) // q) * q
+
+    # -- chunk executors ---------------------------------------------------
+
+    def _make_chunk_executor(self, kernel):
+        """Build ``executor(keys, prior_metric) -> (outputs, active)``.
+
+        ``outputs`` is the kernel's per-repetition pytree with a leading
+        batch axis; ``active`` is a per-repetition bool saying whether the
+        repetition was actually computed (device early stop gates whole
+        sub-chunks off once ``batch_stop_criterion`` is crossed). Without
+        a stop criterion every repetition is active and the executor is a
+        plain jitted vmap. jax.jit caches per key-batch shape, so the
+        (single) smaller tail chunk costs one extra compile instead of
+        computing and discarding a full-size batch.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        batched = jax.vmap(kernel)
+
+        if self.batch_stop_criterion is None:
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                key_sharding = NamedSharding(self.mesh, P(self.mesh_axis))
+                run = jax.jit(batched, in_shardings=(key_sharding,))
+            else:
+                run = jax.jit(batched)
+
+            def executor(keys, prior_metric):
+                del prior_metric
+                out = run(keys)
+                return out, np.ones(keys.shape[0], dtype=bool)
+
+            return executor
+
+        stop_name, limit = self.batch_stop_criterion
+        limit = float(limit)
+        n_sub = max(int(self.num_stop_subchunks), 1)
+
+        def chunk_fn(keys, prior_metric):
+            # keys: (n_sub, sub, ...) — reshaped on the host so the mesh
+            # sharding annotation stays a plain leading-axis spec
+            out_shapes = jax.eval_shape(batched, keys[0])
+
+            def body(acc, kk):
+                active = acc < limit
+
+                def run(k):
+                    return batched(k)
+
+                def dont(k):
+                    del k
+                    return jax.tree_util.tree_map(
+                        lambda s: jnp.zeros(s.shape, s.dtype), out_shapes)
+
+                out = jax.lax.cond(active, run, dont, kk)
+                metric = out[stop_name]
+                if isinstance(metric, tuple):
+                    metric = metric[0]
+                if "__valid__" in out:
+                    metric = jnp.where(out["__valid__"], metric, 0)
+                acc = acc + jnp.sum(metric).astype(jnp.float32)
+                return acc, (out, jnp.broadcast_to(active, kk.shape[:1]))
+
+            _, (outs, actives) = jax.lax.scan(body,
+                                              jnp.float32(prior_metric),
+                                              keys)
+            flat = jax.tree_util.tree_map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), outs)
+            return flat, actives.reshape(-1)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sub_sharding = NamedSharding(self.mesh, P(None, self.mesh_axis))
+            run = jax.jit(chunk_fn, in_shardings=(sub_sharding, None))
+        else:
+            run = jax.jit(chunk_fn)
+
+        def executor(keys, prior_metric):
+            nk = keys.shape[0]
+            sub = nk // n_sub  # nk is a _round_chunk multiple of n_sub
+            keys = keys.reshape((n_sub, sub) + keys.shape[1:])
+            out, active = run(keys, prior_metric)
+            return out, np.asarray(active)
+
+        return executor
+
+    def _stop_metric_value(self, current_results) -> float:
+        """Accumulated raw value of the stop-criterion result (SUMTYPE
+        value, or RATIOTYPE numerator)."""
+        name, _ = self.batch_stop_criterion
+        if name in current_results and current_results[name]:
+            r = current_results[name][-1]
+            if r.num_updates > 0:
+                return float(r._value)
+        return 0.0
+
+    def _stop_criterion_ok(self, current_results) -> bool:
+        if self.batch_stop_criterion is None:
+            return True
+        return self._stop_metric_value(current_results) < \
+            float(self.batch_stop_criterion[1])
 
     def _batch_loop(self, kernel, current_params, current_results,
                     current_rep, pbar) -> int:
         import jax
+        import jax.numpy as jnp
 
         if not self.batch_result_types:
             raise RuntimeError(
@@ -510,34 +677,65 @@ class SimulationRunner:
                 "declare the Result type of every kernel output")
 
         bsize = self._default_batch_size()
-        batched = jax.vmap(kernel)
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            sharding = NamedSharding(self.mesh, P(self.mesh_axis))
-            batched = jax.jit(batched, in_shardings=(sharding,))
-        else:
-            batched = jax.jit(batched)
+        executor = self._make_chunk_executor(kernel)
 
         # Deterministic, resumable key schedule: variation key folded from
-        # the base seed and unpack index; each repetition's key folded
-        # from its global rep index — INDEPENDENT of chunk/batch size, so
+        # the base seed and unpack index; each ATTEMPT's key folded from
+        # its global attempt index — INDEPENDENT of chunk/batch size, so
         # serial, resumed and mesh-sharded runs of the same seed produce
-        # identical streams.
+        # identical streams and the accepted set is always "the first
+        # rep_max valid attempts".
         var_key = jax.random.fold_in(
             jax.random.PRNGKey(self.base_seed),
             max(current_params.unpack_index, 0))
-        import jax.numpy as jnp
         fold_batch = jax.jit(jax.vmap(
             lambda i: jax.random.fold_in(var_key, i)))
 
-        while current_rep < self.rep_max and self._keep_going(
-                current_params, current_results, current_rep):
+        # The attempt cursor resumes as accepted + skipped: skipped
+        # attempts consumed fold_in indices too (skip-and-retry parity
+        # with reference runner.py:1491-1517).
+        skipped_before = 0
+        if "num_skipped_reps" in current_results and \
+                current_results["num_skipped_reps"]:
+            prior = current_results["num_skipped_reps"][-1]
+            if prior.num_updates > 0:
+                skipped_before = int(prior.get_result())
+        cursor = current_rep + skipped_before
+
+        while current_rep < self.rep_max and \
+                self._stop_criterion_ok(current_results) and \
+                self._keep_going(current_params, current_results,
+                                 current_rep):
             tic = time.time()
-            n = min(bsize, self.rep_max - current_rep)
-            keys = fold_batch(jnp.arange(current_rep, current_rep + bsize))
-            out = batched(keys)
+            needed = self.rep_max - current_rep
+            nk = min(bsize, self._round_chunk(needed))
+            keys = fold_batch(jnp.arange(cursor, cursor + nk))
+            prior_metric = (self._stop_metric_value(current_results)
+                            if self.batch_stop_criterion is not None
+                            else 0.0)
+            out, active = executor(keys, prior_metric)
             out = jax.tree_util.tree_map(np.asarray, out)
             elapsed = time.time() - tic
+
+            valid = out.pop("__valid__", None)
+            if valid is None:
+                valid = np.ones(nk, dtype=bool)
+            else:
+                valid = np.asarray(valid).astype(bool)
+            # ``active`` is True on a prefix of the chunk (sub-chunk
+            # granular); attempts after the stop point never ran and do
+            # not consume fold_in indices.
+            candidates = valid & active
+            cand_pos = np.flatnonzero(candidates)
+            if len(cand_pos) >= needed:
+                last = int(cand_pos[needed - 1])
+                accept = candidates & (np.arange(nk) <= last)
+                consumed = last + 1
+            else:
+                accept = candidates
+                consumed = int(np.count_nonzero(active))
+            n_accept = int(np.count_nonzero(accept))
+            n_skip = consumed - int(np.count_nonzero(accept[:consumed]))
 
             chunk_results = SimulationResults()
             for name, spec in self.batch_result_types.items():
@@ -548,18 +746,24 @@ class SimulationRunner:
                 r = Result(name, type_code, choice_num=choice_num)
                 value = out[name]
                 if isinstance(value, tuple):
-                    r.update_batch(value[0][:n], value[1][:n])
+                    r.update_batch(value[0][accept], value[1][accept])
                 else:
-                    r.update_batch(np.asarray(value)[:n])
+                    r.update_batch(np.asarray(value)[accept])
                 chunk_results.add_result(r)
             chunk_results.add_result(
                 Result.create("elapsed_time", Result.SUMTYPE, elapsed))
+            chunk_results.add_result(
+                Result.create("num_skipped_reps", Result.SUMTYPE, n_skip))
             current_results.merge_all_results(chunk_results)
 
-            current_rep += n
+            current_rep += n_accept
+            cursor += consumed
             pbar.progress(current_rep)
             self._save_partial_results_maybe(current_rep, current_params,
                                              current_results)
+            if n_accept == 0 and n_skip == 0:
+                # device early stop gated the whole chunk off
+                break
         self._merge_skip_count(current_results, 0)
         return current_rep
 

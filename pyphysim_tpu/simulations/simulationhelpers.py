@@ -14,6 +14,7 @@ serial mode (cluster job splitting).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Sequence, Union
 
 from .runner import SimulationRunner
@@ -29,7 +30,11 @@ def simulate_do_what_i_mean(
     Parameters
     ----------
     runner_or_list : SimulationRunner or list of SimulationRunner
-        The simulation runner(s) to execute.
+        The simulation runner(s) to execute. A list runs CONCURRENTLY
+        (threads — the work is device-bound, so the GIL is released at
+        every XLA dispatch) sharing one progress server, matching the
+        reference's multi-runner mode
+        (simulationhelpers.py:164-224).
     folder : str, optional
         Ignored on the TPU build (the reference appended it to workers'
         sys.path so pickled runners could import user code; an SPMD program
@@ -38,8 +43,37 @@ def simulate_do_what_i_mean(
     if isinstance(runner_or_list, SimulationRunner):
         _simulate_single(runner_or_list)
     else:
-        for runner in runner_or_list:
-            _simulate_single(runner)
+        _simulate_multiple(list(runner_or_list))
+
+
+def _simulate_multiple(runners: List[SimulationRunner]) -> None:
+    """Dispatch several runners concurrently with one shared progress
+    server (reference ``_simulate_do_what_i_mean_multiple_runners``,
+    simulationhelpers.py:164-224). With a ``-i/--index`` CLI argument
+    every runner degrades to its single-variation serial mode (still
+    concurrent — the variations are independent)."""
+    from ..progressbar import ProgressbarMultiProcessServer
+
+    server = ProgressbarMultiProcessServer(
+        message="Simulating all runners")
+    for runner in runners:
+        num_vars = runner.params.get_num_unpacked_variations()
+        if runner.command_line_args.index is not None:
+            num_vars = 1
+        proxy = server.register_client_and_get_proxy_progressbar(
+            runner.rep_max * num_vars)
+        runner.external_progress_proxy = proxy
+
+    server.start_updater()
+    try:
+        with ThreadPoolExecutor(max_workers=len(runners)) as pool:
+            futures = [pool.submit(_simulate_single, r) for r in runners]
+            for f in futures:
+                f.result()  # re-raise the first worker failure
+    finally:
+        server.stop_updater()
+        for runner in runners:
+            runner.external_progress_proxy = None
 
 
 def _simulate_single(runner: SimulationRunner) -> None:

@@ -580,3 +580,271 @@ class TestEndToEndQpskAwgn:
         runner.simulate()
         # at 0 dB the SER is ~0.3: should stop well before 50 reps
         assert runner.runned_reps[0] < 50
+
+
+# ---------------------------------------------------------------------------
+# Masked skip (SkipThisOne semantics on the TPU batch path)
+# ---------------------------------------------------------------------------
+
+
+_SKIP_PROB = 0.1
+
+
+def _skip_kernel_outputs(key):
+    """Shared kernel used by both the serial (SkipThisOne) and the batch
+    (``__valid__`` mask) runners: ~10% degenerate draws; the value is a
+    deterministic function of the key so accepted sets can be compared
+    attempt-for-attempt."""
+    u = jax.random.uniform(key)
+    valid = u > _SKIP_PROB
+    value = jnp.floor(u * 1000.0)
+    return value, valid
+
+
+class _SkipBatchRunner(SimulationRunner):
+    """Batch path with a validity mask (reference SkipThisOne semantics,
+    runner.py:151-185 + rep-loop handling at runner.py:1491-1517)."""
+
+    def __init__(self, rep_max=30, batch_size=None):
+        super().__init__(read_command_line_args=False)
+        self.params.add("SNR", np.array([0.0, 5.0]))
+        self.params.set_unpack_parameter("SNR")
+        self.rep_max = rep_max
+        self.batch_size = batch_size
+        self.update_progress_function_style = None
+        self.batch_result_types = {"val": Result.RATIOTYPE}
+
+    def _gen_simulation_kernel(self, current_parameters):
+        def kernel(key):
+            value, valid = _skip_kernel_outputs(key)
+            return {"val": (value, jnp.asarray(1.0)), "__valid__": valid}
+
+        return kernel
+
+
+class _SkipSerialRunner(SimulationRunner):
+    """Serial compat path raising SkipThisOne on the SAME key schedule the
+    batch loop uses (fold_in(var_key, attempt_index))."""
+
+    def __init__(self, rep_max=30):
+        super().__init__(read_command_line_args=False)
+        self.params.add("SNR", np.array([0.0, 5.0]))
+        self.params.set_unpack_parameter("SNR")
+        self.rep_max = rep_max
+        self.update_progress_function_style = None
+        self._attempt = 0
+        self._var_key = None
+
+    def _on_simulate_current_params_start(self, current_params):
+        self._attempt = 0
+        self._var_key = jax.random.fold_in(
+            jax.random.PRNGKey(self.base_seed),
+            max(current_params.unpack_index, 0))
+
+    def _run_simulation(self, current_parameters):
+        key = jax.random.fold_in(self._var_key, self._attempt)
+        self._attempt += 1
+        value, valid = _skip_kernel_outputs(key)
+        if not bool(valid):
+            raise SkipThisOne("degenerate draw")
+        res = SimulationResults()
+        res.add_result(Result.create("val", Result.RATIOTYPE,
+                                     float(value), 1.0))
+        return res
+
+
+class TestBatchSkipSemantics:
+    def test_batch_matches_serial_skip_and_retry(self):
+        serial = _SkipSerialRunner(rep_max=30)
+        serial.simulate()
+        batch = _SkipBatchRunner(rep_max=30, batch_size=7)
+        batch.simulate()
+
+        # both filled rep_max ACCEPTED reps per variation
+        assert serial.runned_reps == [30, 30]
+        assert batch.runned_reps == [30, 30]
+        # accepted values are the same set (first 30 valid attempts)
+        for i in range(2):
+            s, b = serial.results["val"][i], batch.results["val"][i]
+            assert s._value == pytest.approx(b._value)
+            assert s._total == pytest.approx(b._total)
+            assert s.num_updates == b.num_updates == 30
+        # and the same attempts were skipped
+        s_skips = serial.results.get_result_values_list("num_skipped_reps")
+        b_skips = batch.results.get_result_values_list("num_skipped_reps")
+        assert s_skips == b_skips
+        assert sum(b_skips) > 0  # the 10% skip rate actually fired
+
+    def test_skip_is_chunk_size_invariant(self):
+        a = _SkipBatchRunner(rep_max=30, batch_size=30)
+        b = _SkipBatchRunner(rep_max=30, batch_size=4)
+        a.simulate()
+        b.simulate()
+        for i in range(2):
+            assert a.results["val"][i]._value == \
+                pytest.approx(b.results["val"][i]._value)
+        assert a.results.get_result_values_list("num_skipped_reps") == \
+            b.results.get_result_values_list("num_skipped_reps")
+
+    def test_resume_preserves_attempt_cursor(self, tmp_path):
+        # interrupted at rep_max=12 then resumed to 30 must equal an
+        # uninterrupted rep_max=30 run: the attempt cursor (accepted +
+        # skipped) is reconstructed from the checkpointed skip count
+        part = _SkipBatchRunner(rep_max=12, batch_size=5)
+        part.set_results_filename(str(tmp_path / "res"))
+        part.partial_results_folder = str(tmp_path / "partial")
+        part.simulate()
+
+        resumed = _SkipBatchRunner(rep_max=30, batch_size=5)
+        resumed.set_results_filename(str(tmp_path / "res"))
+        resumed.partial_results_folder = str(tmp_path / "partial")
+        resumed.simulate()
+
+        full = _SkipBatchRunner(rep_max=30, batch_size=5)
+        full.simulate()
+        for i in range(2):
+            assert resumed.results["val"][i]._value == \
+                pytest.approx(full.results["val"][i]._value)
+        assert resumed.results.get_result_values_list("num_skipped_reps") \
+            == full.results.get_result_values_list("num_skipped_reps")
+
+
+class TestUpdateBatchZeroTotalGuard:
+    def test_zero_total_rows_do_not_poison_stats(self):
+        r = Result("ber", Result.RATIOTYPE)
+        r.update_batch(np.array([1.0, 0.0, 3.0]),
+                       np.array([10.0, 0.0, 10.0]))
+        # the 0/0 row contributes to neither the mean nor num_updates
+        assert r.num_updates == 2
+        assert r.get_result_mean() == pytest.approx(0.2)
+        assert np.isfinite(r.get_result_var())
+        # aggregate numerator/denominator still include the masked row
+        assert r._value == pytest.approx(4.0)
+        assert r._total == pytest.approx(20.0)
+
+    def test_all_zero_totals(self):
+        r = Result("ber", Result.RATIOTYPE)
+        r.update_batch(np.zeros(4), np.zeros(4))
+        assert r.num_updates == 0
+        assert r._result_sum == 0.0
+
+
+class TestCheckpointThrottle:
+    def test_fires_on_crossing_multiples_of_500(self, tmp_path):
+        runner = _DummyBatchRunner()
+        runner.set_results_filename(str(tmp_path / "res"))
+        runner.partial_results_folder = str(tmp_path / "partial")
+        saves = []
+        orig = runner._save_partial_results
+
+        def spy(current_rep, *a, **k):
+            saves.append(current_rep)
+            return orig(current_rep, *a, **k)
+
+        runner._save_partial_results = spy
+        runner.rep_max = 1203
+        runner.batch_size = 7  # never lands exactly on a multiple of 500
+        runner.simulate()
+        # throttled saves fired when crossing 500 and 1000 (plus the final
+        # unconditional save per variation)
+        mid_saves = [s for s in saves if s not in (1203,)]
+        crossings = {s // 500 for s in mid_saves}
+        assert {1, 2} <= crossings, saves
+
+
+class TestDeviceEarlyStop:
+    """VERDICT item 6: masked accumulation inside the dispatched chunk —
+    sub-chunk granular stop, and the gated sub-chunks execute NO kernel
+    work (lax.cond, observed via jax.debug.callback)."""
+
+    class StopRunner(SimulationRunner):
+        def __init__(self, executed_log):
+            super().__init__(read_command_line_args=False)
+            self.params.add("SNR", np.array([0.0]))
+            self.params.set_unpack_parameter("SNR")
+            self.rep_max = 64
+            self.batch_size = 64
+            self.num_stop_subchunks = 8
+            self.update_progress_function_style = None
+            self.batch_result_types = {"errors": Result.SUMTYPE,
+                                       "payload": Result.SUMTYPE}
+            self.batch_stop_criterion = ("errors", 100.0)
+            self._executed_log = executed_log
+
+        def _gen_simulation_kernel(self, current_parameters):
+            log = self._executed_log
+
+            def kernel(key):
+                jax.debug.callback(lambda u: log.append(1),
+                                   jax.random.uniform(key))
+                # deterministic 10 errors/rep; payload derived from key
+                return {"errors": jnp.asarray(10, jnp.int32),
+                        "payload": jnp.floor(
+                            jax.random.uniform(key) * 100.0)}
+
+            return kernel
+
+    def test_subchunk_granular_stop_and_gated_work(self):
+        log = []
+        runner = self.StopRunner(log)
+        runner.simulate()
+        jax.effects_barrier()
+        # 8 reps/sub-chunk x 10 errors: acc hits 160 >= 100 after the 2nd
+        # sub-chunk -> exactly 16 reps counted
+        assert runner.runned_reps == [16]
+        assert runner.results["errors"][0].get_result() == 160
+        # only 2 of the 8 sub-chunks actually ran the kernel
+        assert len(log) == 16
+
+    def test_values_match_ungated_prefix(self):
+        log = []
+        gated = self.StopRunner(log)
+        gated.simulate()
+
+        free = self.StopRunner([])
+        free.batch_stop_criterion = None
+        free.rep_max = 16
+        free.batch_size = 16
+        free.simulate()
+        assert gated.results["payload"][0].get_result() == \
+            pytest.approx(free.results["payload"][0].get_result())
+
+
+class TestConcurrentMultiRunner:
+    """simulationhelpers multi-runner mode: runners execute CONCURRENTLY
+    sharing one progress server (reference simulationhelpers.py:164-224)."""
+
+    def test_runners_run_concurrently_with_shared_progress(self):
+        import threading
+
+        from pyphysim_tpu.simulations.simulationhelpers import \
+            simulate_do_what_i_mean
+
+        # both runners must be inside a repetition at the same time or the
+        # barrier times out and breaks
+        barrier = threading.Barrier(2, timeout=30)
+
+        class Meet(_DummyRunner):
+            def _run_simulation(self, current_parameters):
+                barrier.wait()
+                return super()._run_simulation(current_parameters)
+
+        r1, r2 = Meet(), Meet()
+        simulate_do_what_i_mean([r1, r2])
+        assert not barrier.broken
+        for r in (r1, r2):
+            assert r.runned_reps == [10, 10, 10]
+            assert np.allclose(r.results.get_result_values_list("lala"),
+                               [1.3, 7.3, 13.3])
+            assert r.external_progress_proxy is None  # restored
+
+    def test_worker_failure_propagates(self):
+        from pyphysim_tpu.simulations.simulationhelpers import \
+            simulate_do_what_i_mean
+
+        class Boom(_DummyRunner):
+            def _run_simulation(self, current_parameters):
+                raise RuntimeError("kaboom")
+
+        with pytest.raises(RuntimeError, match="kaboom"):
+            simulate_do_what_i_mean([_DummyRunner(), Boom()])
