@@ -298,6 +298,28 @@ class TdlImpulseResponse:
             [r.tap_values_sparse for r in responses], axis=-1)
         return TdlImpulseResponse(values, prof)
 
+    # -- pytree protocol -----------------------------------------------------
+
+    def _tree_flatten(self):
+        return (self._tap_values_sparse,), self._channel_profile
+
+    @classmethod
+    def _tree_unflatten(cls, profile, children):
+        obj = cls.__new__(cls)
+        obj._tap_values_sparse = children[0]
+        obj._channel_profile = profile
+        return obj
+
+
+# Registered as a pytree (tap values = dynamic leaf, profile = static aux)
+# so impulse responses flow through jit/vmap/scan — e.g. the vectorized
+# MuChannel vmaps one TdlChannel over all K^2 links and gets the per-link
+# responses back as ONE stacked TdlImpulseResponse.
+jax.tree_util.register_pytree_node(
+    TdlImpulseResponse,
+    lambda ir: ir._tree_flatten(),
+    TdlImpulseResponse._tree_unflatten)
+
 
 class TdlChannel:
     """Tapped-delay-line channel (functional core + stateful convenience).

@@ -139,23 +139,77 @@ class MuChannel:
     # -- functional API ----------------------------------------------------
 
     def init_state(self, key: jax.Array):
-        """Nested per-link states (a pytree)."""
+        """STACKED link states: one pytree whose leaves carry a leading
+        ``(num_rx_users * num_tx_users,)`` axis (row-major over the
+        (rx, tx) grid). The reference builds K^2 independent channel
+        objects (multiuser.py:99-118); here the K^2 grid is ONE vmapped
+        TdlChannel so `corrupt_data` traces a single XLA program instead
+        of K^2 and the state is a single stacked pytree (TPU-native form,
+        SURVEY §7)."""
         keys = jax.random.split(key,
                                 self._num_rx_users * self._num_tx_users)
-        states = []
-        i = 0
-        for row in self._su_channels:
-            srow = []
-            for ch in row:
-                srow.append(ch.init_state(keys[i]))
-                i += 1
-            states.append(srow)
+        base = self._base_tdl()
+        return jax.vmap(base.init_state)(keys)
+
+    def _base_tdl(self):
+        """The shared per-link TdlChannel: all K^2 links are identically
+        configured (same profile, generator parameters and antenna
+        counts); only their states and path losses differ."""
+        return self._su_channels[0][0]._tdlchannel
+
+    def _as_stacked_states(self, states):
+        """Accept legacy nested-list states (one plain list of lists with
+        one pytree per link) and stack them into the leading-link-axis
+        form. NamedTuple states ARE tuples, so only plain lists signal
+        the legacy layout."""
+        if isinstance(states, list):
+            flat = [s for row in states for s in row]
+            return jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *flat)
         return states
+
+    def _link_pathloss_sqrt(self) -> Optional[np.ndarray]:
+        if self._pathloss_matrix is None:
+            return None
+        return np.sqrt(np.asarray(
+            self._pathloss_matrix, dtype=float)).reshape(-1)
+
+    def _tile_signal(self, signal):
+        """Stack per-tx-user signals and tile them over the rx axis so
+        link ``i = r * T + t`` reads the signal of transmitter ``t``."""
+        if isinstance(signal, (list, tuple)) and \
+                not isinstance(signal, CArray):
+            sig = cplx.stack([cplx.carray(s) for s in signal], axis=0)
+        else:
+            sig = cplx.carray(signal)
+        reps = (self._num_rx_users,) + (1,) * (sig.re.ndim - 1)
+        return CArray(jnp.tile(sig.re, reps), jnp.tile(sig.im, reps))
+
+    def _finalize_links(self, outs: CArray, irs, new_states):
+        """Apply per-link path loss, sum over transmitters, return the
+        per-receiver list (multiuser.py:292-330 semantics)."""
+        R, T = self._num_rx_users, self._num_tx_users
+        scale = self._link_pathloss_sqrt()
+        if scale is not None:
+            s_out = jnp.asarray(scale, outs.re.dtype).reshape(
+                (R * T,) + (1,) * (outs.re.ndim - 1))
+            outs = CArray(outs.re * s_out, outs.im * s_out)
+            tv = irs.tap_values_sparse  # (taps, R*T, ..., samples)
+            s_ir = jnp.asarray(scale, tv.re.dtype).reshape(
+                (1, R * T) + (1,) * (tv.re.ndim - 2))
+            from .fading import TdlImpulseResponse
+            irs = TdlImpulseResponse(CArray(tv.re * s_ir, tv.im * s_ir),
+                                     irs.channel_profile)
+        out_rt = outs.reshape((R, T) + outs.shape[1:])
+        out_sum = CArray(out_rt.re.sum(axis=1), out_rt.im.sum(axis=1))
+        out = [out_sum[r] for r in range(R)]
+        return out, irs, new_states
 
     def corrupt_data(self, state_or_signal, signal=None):
         """``signal``: (num_tx_users, n) or list per tx user. Output:
         list per rx user of ``(n + memory,)`` CArrays summed over all
-        transmitters (multiuser.py:292-330)."""
+        transmitters (multiuser.py:292-330). All K^2 links run in ONE
+        vmapped program."""
         if signal is None:
             signal = state_or_signal
             states = self._ensure_states()
@@ -166,23 +220,18 @@ class MuChannel:
         return out, irs, states
 
     def _corrupt_impl(self, states, signal):
-        out = []
-        irs = []
-        new_states = []
-        for r, row in enumerate(self._su_channels):
-            acc = None
-            ir_row = []
-            st_row = []
-            for t, ch in enumerate(row):
-                sig_t = signal[t]
-                o, ir, st = ch.corrupt_data(states[r][t], sig_t)
-                acc = o if acc is None else acc + o
-                ir_row.append(ir)
-                st_row.append(st)
-            out.append(acc)
-            irs.append(ir_row)
-            new_states.append(st_row)
-        return out, irs, new_states
+        states = self._as_stacked_states(states)
+        base = self._base_tdl()
+        sig_flat = self._tile_signal(signal)
+
+        def link_fn(state, s):
+            return base._corrupt_data_impl(state, s)
+
+        # impulse responses come back as ONE stacked TdlImpulseResponse
+        # with the link axis at position 1: (taps, R*T, ..., samples)
+        outs, irs, new_states = jax.vmap(
+            link_fn, out_axes=(0, 1, 0))(states, sig_flat)
+        return self._finalize_links(outs, irs, new_states)
 
     def corrupt_data_in_freq_domain(self, state_or_signal, signal=None,
                                     fft_size=None, carrier_indexes=None):
@@ -201,23 +250,17 @@ class MuChannel:
         return out, irs, states
 
     def _corrupt_freq_impl(self, states, signal, fft_size, carrier_indexes):
-        out = []
-        irs = []
-        new_states = []
-        for r, row in enumerate(self._su_channels):
-            acc = None
-            ir_row = []
-            st_row = []
-            for t, ch in enumerate(row):
-                o, ir, st = ch.corrupt_data_in_freq_domain(
-                    states[r][t], signal[t], fft_size, carrier_indexes)
-                acc = o if acc is None else acc + o
-                ir_row.append(ir)
-                st_row.append(st)
-            out.append(acc)
-            irs.append(ir_row)
-            new_states.append(st_row)
-        return out, irs, new_states
+        states = self._as_stacked_states(states)
+        base = self._base_tdl()
+        sig_flat = self._tile_signal(signal)
+
+        def link_fn(state, s):
+            return base._corrupt_freq_impl(state, cplx.carray(s), fft_size,
+                                           carrier_indexes)
+
+        outs, irs, new_states = jax.vmap(
+            link_fn, out_axes=(0, 1, 0))(states, sig_flat)
+        return self._finalize_links(outs, irs, new_states)
 
     # -- stateful convenience ---------------------------------------------
 
@@ -239,8 +282,15 @@ class MuChannel:
 
     def get_last_impulse_response(self, rx_idx: int, tx_idx: int):
         """Last impulse response of link (rx_idx, tx_idx)
-        (multiuser.py:396-441)."""
-        return self._last_irs[rx_idx][tx_idx]
+        (multiuser.py:396-441) — a view into the stacked per-link
+        response (link axis at position 1 of the tap values)."""
+        irs = self._last_irs
+        if isinstance(irs, list):  # legacy nested form
+            return irs[rx_idx][tx_idx]
+        from .fading import TdlImpulseResponse
+        tv = irs.tap_values_sparse
+        link = rx_idx * self._num_tx_users + tx_idx
+        return TdlImpulseResponse(tv[:, link], irs.channel_profile)
 
 
 class MuMimoChannel(MuChannel):
