@@ -21,6 +21,8 @@ but with a fixed iteration count instead of a convergence test
 
 from __future__ import annotations
 
+import itertools
+import math
 from typing import NamedTuple, Tuple
 
 import jax
@@ -30,6 +32,7 @@ from ..ops import cplx
 from ..ops.cplx import CArray
 
 __all__ = ["max_sinr_solve", "min_leakage_solve", "mmse_solve",
+           "alt_min_solve", "alt_min_cost", "closed_form_solve",
            "calc_sinrs", "sum_capacity", "calc_leakage",
            "random_unit_precoders"]
 
@@ -50,13 +53,20 @@ def random_unit_precoders(key: jax.Array, K: int, Nt: int,
 def _bkl_covariances(H: CArray, F: CArray, k: int, noise_var,
                      P, Ns: int) -> list:
     """Bkl (eq. 28) for all streams of user k. ``F``: (K, Nt, Ns)
-    normalized; powers P (K,)."""
+    unit-Frobenius-norm precoders; powers P (K,).
+
+    Power convention matches the reference's ``full_F = sqrt(P) * F``
+    (iabase.py): the TOTAL power of user j is P[j]; per-stream power is
+    whatever F's column norms carry (1/Ns each for a balanced
+    unit-Frobenius F). The gram scale is therefore P[j], NOT P[j]/Ns —
+    dividing by Ns on top of the column norms would double-count it
+    (invisible at Ns=1, wrong for Ns>1)."""
     K = H.shape[0]
     Nr = H.shape[2]
     eye = cplx.eye(Nr)
     first = CArray(noise_var * eye.re, eye.im * 0.0)
     for j in range(K):
-        scale = P[j] / Ns
+        scale = P[j]
         hf = cplx.matmul(H[k, j], F[j])          # (Nr, Ns)
         gram = cplx.matmul(hf, hf.mH)
         first = first + CArray(gram.re * scale, gram.im * scale)
@@ -65,7 +75,7 @@ def _bkl_covariances(H: CArray, F: CArray, k: int, noise_var,
     for l in range(Ns):
         v = hkk_f[..., :, l:l + 1]
         second = cplx.matmul(v, v.mH)
-        scale = P[k] / Ns
+        scale = P[k]
         out.append(first - CArray(second.re * scale, second.im * scale))
     return out
 
@@ -119,10 +129,12 @@ def max_sinr_solve(H: CArray, key: jax.Array, Ns: int = 1,
 
 
 def _interference_covariances(H: CArray, F: CArray, P, Ns: int) -> CArray:
-    """Qk = sum_{j != k} (P_j/Ns) H_kj F_j F_j^H H_kj^H, stacked (K, Nr, Nr).
+    """Qk = sum_{j != k} P_j H_kj F_j F_j^H H_kj^H, stacked (K, Nr, Nr).
 
     The reference's ``IASolverBaseClass.calc_Q`` (iabase.py) — interference
     covariance seen at each receiver, excluding the own-signal term.
+    Same ``full_F = sqrt(P) * F`` power convention as
+    :func:`_bkl_covariances` (total user power P[j]).
     """
     K = H.shape[0]
     qs = []
@@ -134,7 +146,7 @@ def _interference_covariances(H: CArray, F: CArray, P, Ns: int) -> CArray:
                 continue
             hf = cplx.matmul(H[k, j], F[j])
             gram = cplx.matmul(hf, hf.mH)
-            scale = P[j] / Ns
+            scale = P[j]
             q = q + CArray(gram.re * scale, gram.im * scale)
         qs.append(q)
     return cplx.stack(qs, axis=0)
@@ -291,6 +303,188 @@ def mmse_solve(H: CArray, key: jax.Array, Ns: int = 1, P: float = 1.0,
     return F, U
 
 
+def _alt_min_update_C(H: CArray, F: CArray, p_vec, Ns: int) -> CArray:
+    """Interference subspaces: C_k = dominant Nr-Ns eigenvectors of the
+    interference covariance Q_k (reference AlternatingMinIASolver._updateC,
+    algorithms.py:1016-1040). Stacked (K, Nr, Nr-Ns)."""
+    K, Nr = H.shape[0], int(H.shape[2])
+    Ni = Nr - Ns
+    Q = _interference_covariances(H, F, p_vec, Ns)
+    cs = []
+    for k in range(K):
+        _, v = cplx.eigh(Q[k])                   # ascending
+        cs.append(v[..., Nr - Ni:])              # dominant Ni
+    return cplx.stack(cs, axis=0)
+
+
+def _alt_min_update_F(H: CArray, C: CArray, Ns: int) -> CArray:
+    """F_l = least Ns eigenvectors of sum_{k != l} H_kl^H Y_k H_kl with
+    Y_k = I - C_k C_k^H (algorithms.py:1042-1095), unit Frobenius norm."""
+    K, Nr, Nt = H.shape[0], int(H.shape[2]), int(H.shape[3])
+    eye = cplx.eye(Nr, H.re.dtype)
+    Ys = [eye - cplx.matmul(C[k], C[k].mH) for k in range(K)]
+    fs = []
+    for l in range(K):
+        m = cplx.zeros((Nt, Nt), dtype=H.re.dtype)
+        for k in range(K):
+            if k == l:
+                continue
+            hkl = H[k, l]
+            m = m + cplx.matmul(hkl.mH, cplx.matmul(Ys[k], hkl))
+        _, v = cplx.eigh(m)
+        fs.append(_normalize_fro(v[..., :Ns]))
+    return cplx.stack(fs, axis=0)
+
+
+def _alt_min_update_U(H: CArray, F: CArray, C: CArray, Ns: int) -> CArray:
+    """ZF receive filters: rows of inv([H_kk F_k, C_k]) — returned as
+    column filters U = W_H^H (algorithms.py:1097-1126)."""
+    K = H.shape[0]
+    us = []
+    for k in range(K):
+        tilde = cplx.concatenate(
+            [cplx.matmul(H[k, k], F[k]), C[k]], axis=-1)  # (Nr, Nr)
+        w_h = cplx.inv(tilde)[..., :Ns, :]
+        us.append(w_h.mH)
+    return cplx.stack(us, axis=0)
+
+
+def alt_min_solve(H: CArray, key, Ns: int = 1, P: float = 1.0,
+                  iterations: int = 20,
+                  F0: CArray = None) -> Tuple[CArray, CArray]:
+    """Fixed-iteration alternating minimization IA
+    ([PetersHeathAltMin2009]).
+
+    Behavioral counterpart of the reference's AlternatingMinIASolver
+    (algorithms.py:885-1126): alternate C (interference subspace,
+    dominant eigenvectors of Q_k), F (least eigenvectors of the
+    out-of-subspace interference operator), and the ZF receive filter
+    from ``[H_kk F_k, C_k]^-1``. Update order matches the host solver's
+    ``_step`` exactly (C from the previous F, W from the NEW F and the
+    SAME C), so with a shared ``F0`` the two track each other
+    iteration-for-iteration up to per-column eigenvector phases.
+
+    ``H``: (K, K, Nr, Nt) CArray. Returns ``(F, U)`` with U = W_H^H.
+    vmap over leading axes for Monte Carlo batches. Pass ``F0`` (K, Nt,
+    Ns) to fix the initialization (the host solver's 'fix' mode).
+    """
+    K, Nt = H.shape[0], int(H.shape[3])
+    p_vec = jnp.full((K,), P)
+    F = F0 if F0 is not None else random_unit_precoders(key, K, Nt, Ns)
+    C = _alt_min_update_C(H, F, p_vec, Ns)
+
+    def body(carry, _):
+        F_cur, _C_prev = carry
+        C_new = _alt_min_update_C(H, F_cur, p_vec, Ns)
+        F_new = _alt_min_update_F(H, C_new, Ns)
+        return (F_new, C_new), 0
+
+    (F, C), _ = jax.lax.scan(body, (F, C), jnp.arange(iterations))
+    U = _alt_min_update_U(H, F, C, Ns)
+    return F, U
+
+
+def alt_min_cost(H: CArray, F: CArray, P: float = 1.0) -> jnp.ndarray:
+    """Interference energy OUTSIDE the interference subspaces:
+    ``sum_{k != l} ||(I - C_k C_k^H) H_kl sqrt(P) F_l||_F^2`` with C
+    recomputed from F — the cost the reference's
+    AlternatingMinIASolver.get_cost reports (algorithms.py:937-963)."""
+    K, Nr = H.shape[0], int(H.shape[2])
+    Ns = F.shape[-1]
+    p_vec = jnp.full((K,), P)
+    C = _alt_min_update_C(H, F, p_vec, Ns)
+    eye = cplx.eye(Nr, H.re.dtype)
+    cost = 0.0
+    for k in range(K):
+        y = eye - cplx.matmul(C[k], C[k].mH)
+        for l in range(K):
+            if l == k:
+                continue
+            hf = cplx.matmul(H[k, l], F[l]) * math.sqrt(P)
+            out = cplx.matmul(y, hf)
+            cost = cost + jnp.sum(out.abs2(), axis=(-2, -1))
+    return cost
+
+
+def closed_form_solve(H: CArray, Ns: int = 1, P: float = 1.0,
+                      noise_var: float = 0.1,
+                      use_best_init: bool = True) -> Tuple[CArray, CArray]:
+    """3-user closed-form IA [CadambeDoF2008] on the device.
+
+    Behavioral counterpart of the reference's ClosedFormIASolver
+    (algorithms.py:42-265): ``E = H31^-1 H32 H12^-1 H13 H23^-1 H21``;
+    F0 spans ``Ns`` eigenvectors of E (every static subset is evaluated
+    when ``use_best_init`` and the best sum capacity kept — a static
+    unrolled search with an argmax select, fully jittable); F1/F2 derive
+    from F0 through the cross links; W_k are the least eigenvectors of
+    the residual interference Gram matrices. The general complex
+    eigendecomposition uses :func:`pyphysim_tpu.ops.cplx.ceig` (analytic
+    2x2 / shifted-QR) because ``jnp.linalg.eig`` has no TPU lowering.
+
+    ``H``: (3, 3, Nr, Nt) CArray (square per-link blocks). Returns
+    ``(F, U)`` stacked (3, Nt, Ns) / (3, Nr, Ns); vmap over leading axes.
+    """
+    if H.shape[0] != 3 or H.shape[1] != 3:
+        raise AssertionError(
+            "The closed form IA solution only works in a MIMO-IC "
+            "scenario with 3 users.")
+    Nt = int(H.shape[3])
+
+    # E = solve(H31, H32) @ solve(H12, H13) @ solve(H23, H21)
+    e = cplx.matmul(
+        cplx.solve(H[2, 0], H[2, 1]),
+        cplx.matmul(cplx.solve(H[0, 1], H[0, 2]),
+                    cplx.solve(H[1, 2], H[1, 0])))
+    _, eigvecs = cplx.ceig(e)
+
+    def candidate(cols) -> Tuple[CArray, CArray, jnp.ndarray]:
+        f0 = _normalize_fro(
+            cplx.concatenate([eigvecs[..., :, c:c + 1] for c in cols],
+                             axis=-1))
+        f1 = _normalize_fro(cplx.solve(H[2, 1], cplx.matmul(H[2, 0], f0)))
+        f2 = _normalize_fro(cplx.solve(H[1, 2], cplx.matmul(H[1, 0], f0)))
+        F = cplx.stack([f0, f1, f2], axis=0)
+        # W_k = least Ns eigvecs of (H_k,src F_src)(H_k,src F_src)^H with
+        # src the dominant interferer the reference picks
+        # (algorithms.py:87-95): src = 1 for k = 0, else 0
+        ws = []
+        for k, src in enumerate((1, 0, 0)):
+            aa = cplx.matmul(H[k, src], F[src])
+            gram = cplx.matmul(aa, aa.mH)
+            _, v = cplx.eigh(gram)
+            ws.append(v[..., :Ns])
+        U = cplx.stack(ws, axis=0)
+        cap = sum_capacity(calc_sinrs(H, F, U, noise_var, P))
+        return F, U, cap
+
+    if not use_best_init:
+        F, U, _ = candidate(tuple(range(Ns)))
+        return F, U
+
+    combos = list(itertools.combinations(range(Nt), Ns))
+    Fs, Us, caps = [], [], []
+    for cols in combos:
+        F, U, cap = candidate(cols)
+        Fs.append(F)
+        Us.append(U)
+        caps.append(cap)
+    caps = jnp.stack(caps, axis=-1)              # (..., C)
+    best = jnp.argmax(caps, axis=-1)
+    F_all = cplx.stack(Fs, axis=0)               # (C, ..., 3, Nt, Ns)
+    U_all = cplx.stack(Us, axis=0)
+    # one-hot contraction instead of a dynamic gather (TPU-friendly and
+    # correct under vmap where `best` is batched)
+    onehot = jax.nn.one_hot(best, len(combos), dtype=H.re.dtype)
+
+    def select(stacked: CArray, oh) -> CArray:
+        w = jnp.moveaxis(oh, -1, 0).reshape(
+            (len(combos),) + oh.shape[:-1] + (1, 1, 1))
+        return CArray(jnp.sum(stacked.re * w, axis=0),
+                      jnp.sum(stacked.im * w, axis=0))
+
+    return select(F_all, onehot), select(U_all, onehot)
+
+
 def calc_sinrs(H: CArray, F: CArray, U: CArray, noise_var,
                P: float = 1.0) -> jnp.ndarray:
     """Per-stream SINRs, shape (K, Ns) (Cadambe2008 eq. 28/29)."""
@@ -301,7 +495,7 @@ def calc_sinrs(H: CArray, F: CArray, U: CArray, noise_var,
     for k in range(K):
         bkls = _bkl_covariances(H, F, k, noise_var, p_vec, Ns)
         hkk_f = cplx.matmul(H[k, k], F[k])
-        scale = P / Ns
+        scale = P
         vals = []
         for l in range(Ns):
             ukl = U[k][..., :, l:l + 1]

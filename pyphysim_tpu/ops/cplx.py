@@ -35,8 +35,9 @@ Scalar = Union[int, float, complex]
 
 __all__ = [
     "CArray", "carray", "from_numpy", "to_numpy", "zeros", "ones", "full",
-    "eye", "cexp", "exp", "matmul", "solve", "inv", "eigh", "svd", "qr",
-    "where", "sum", "mean", "stack", "concatenate", "outer", "einsum",
+    "eye", "cexp", "exp", "csqrt", "matmul", "solve", "inv", "eigh", "ceig",
+    "svd", "qr", "where", "sum", "mean", "stack", "concatenate", "outer",
+    "einsum",
 ]
 
 
@@ -436,6 +437,142 @@ def eigh(a: CArray, *, tie_break: bool = True):
     v = CArray(jnp.take_along_axis(v.re, order[..., None, :], axis=-1),
                jnp.take_along_axis(v.im, order[..., None, :], axis=-1))
     return w, v
+
+
+def csqrt(z: CArray) -> CArray:
+    """Principal complex square root, elementwise:
+    ``sqrt(r) * exp(j*theta/2)`` — pure VPU work (abs/atan2/cos/sin)."""
+    z = _coerce(z)
+    r = jnp.sqrt(z.abs())
+    half = 0.5 * z.angle()
+    return CArray(r * jnp.cos(half), r * jnp.sin(half))
+
+
+def _eig2x2(a: CArray):
+    """Analytic eigendecomposition of a (batched) GENERAL complex 2x2
+    matrix via the characteristic polynomial. Eigenvectors are read off
+    the rows of ``A - lambda I`` (the two candidate constructions are
+    blended by whichever has the larger norm, so defective directions
+    never divide by ~0)."""
+    a00, a01 = a[..., 0, 0], a[..., 0, 1]
+    a10, a11 = a[..., 1, 0], a[..., 1, 1]
+    tr = a00 + a11
+    det = a00 * a11 - a01 * a10
+    disc = csqrt(tr * tr - 4.0 * det)
+    lam1 = (tr + disc) * 0.5
+    lam2 = (tr - disc) * 0.5
+
+    def vec_for(lam: CArray) -> CArray:
+        # (A - lam I) v = 0: v = [a01, lam - a00] or [lam - a11, a10]
+        c1 = stack([a01, lam - a00], axis=-1)
+        c2 = stack([lam - a11, a10], axis=-1)
+        use1 = (jnp.sum(c1.abs2(), axis=-1, keepdims=True) >=
+                jnp.sum(c2.abs2(), axis=-1, keepdims=True))
+        v = where(use1, c1, c2)
+        nrm = jnp.sqrt(jnp.sum(v.abs2(), axis=-1, keepdims=True)) + 1e-30
+        return CArray(v.re / nrm, v.im / nrm)
+
+    w = stack([lam1, lam2], axis=-1)
+    v = stack([vec_for(lam1), vec_for(lam2)], axis=-1)
+    return w, v
+
+
+def ceig(a: CArray, qr_iters: int = 60, inv_iters: int = 4):
+    """Eigendecomposition of a GENERAL (non-Hermitian) complex matrix.
+
+    ``jnp.linalg.eig`` is CPU-only in JAX — there is no TPU lowering for
+    the general eigenproblem — so this builds one from ops that DO run on
+    the device: the analytic 2x2 formula when ``n == 2`` (the common case
+    for the 3-user IA closed form, reference algorithms.py:42-265), and
+    for larger ``n`` a fixed-iteration unshifted QR iteration for the
+    Schur values followed by inverse iteration for each eigenvector.
+    Intended for the SMALL matrices of transceiver algorithms (n <= ~6);
+    eigenvalues of generic (simple-spectrum) matrices only.
+
+    Returns ``(w, V)`` with eigenvector COLUMNS, like ``np.linalg.eig``
+    (no ordering guarantee).
+    """
+    a = _coerce(a)
+    n = a.shape[-1]
+    if n == 1:
+        return a[..., 0, :], ones(a.shape, a.dtype)
+    if n == 2:
+        return _eig2x2(a)
+
+    # The shifted-QR sweep is precision-critical: the TPU MXU's default
+    # bf16 passes (~0.4% rel error) swamp the shift-offset margin of the
+    # Cholesky-QR and produce NaNs. These matrices are tiny — full f32
+    # multiplies cost nothing.
+    with jax.default_matmul_precision("highest"):
+        return _ceig_qr(a, qr_iters, inv_iters)
+
+
+def _ceig_qr(a: CArray, qr_iters: int, inv_iters: int):
+    n = a.shape[-1]
+
+    # Corner-shifted QR with STATIC deflation: for each trailing position
+    # run a fixed number of shifted QR steps (shift = bottom-right entry;
+    # near-cubic convergence of the last subdiagonal), record the corner
+    # eigenvalue, then truncate to the leading block — all shapes static,
+    # so the whole spectral sweep jits. Unshifted QR needs O(1/log(ratio))
+    # iterations and stalls on close-magnitude eigenvalues; the shifted
+    # form needs a handful per eigenvalue.
+    fro = jnp.sqrt(jnp.mean(a.re ** 2 + a.im ** 2,
+                            axis=(-2, -1))) + 1e-30
+
+    def shifted_steps(s: CArray, m: int) -> CArray:
+        k = s.shape[-1]
+        eyek = jnp.eye(k, dtype=s.re.dtype)
+        # The shift is OFFSET from the corner entry by ~1e-3 of the matrix
+        # scale: as the corner converges to an eigenvalue, an exact shift
+        # would make the QR input singular (the Cholesky-QR underneath
+        # needs full column rank and squares the condition number, so the
+        # margin must stay well above f32 eps). The offset caps the
+        # condition number while barely slowing convergence, and does not
+        # bias the converged corner value.
+        off = (1e-2 * fro)[..., None, None] * eyek
+
+        def step(cur, _):
+            mu_re = cur.re[..., -1:, -1:] * eyek + off
+            mu_im = cur.im[..., -1:, -1:] * eyek
+            shifted = CArray(cur.re - mu_re, cur.im - mu_im)
+            q, r = qr(shifted)
+            nxt = matmul(r, q)
+            return CArray(nxt.re + mu_re, nxt.im + mu_im), 0
+
+        out, _ = jax.lax.scan(step, s, jnp.arange(m))
+        return out
+
+    per_stage = min(max(qr_iters // max(n - 1, 1), 8), 16)
+    s = a
+    vals = []
+    for size in range(n, 1, -1):
+        s = shifted_steps(s, per_stage)
+        vals.append(CArray(s.re[..., -1, -1], s.im[..., -1, -1]))
+        s = s[..., : size - 1, : size - 1]
+    vals.append(CArray(s.re[..., 0, 0], s.im[..., 0, 0]))
+    w = stack(vals[::-1], axis=-1)  # (..., n)
+
+    # inverse iteration per eigenvalue: v <- (A - (lam + delta) I)^-1 v
+    scale = jnp.sqrt(jnp.mean(a.re ** 2 + a.im ** 2,
+                              axis=(-2, -1))) + 1e-30
+    eyec = eye(n, a.dtype)
+
+    def vec_for(lam: CArray) -> CArray:
+        shift = CArray((lam.re + 1e-5 * scale)[..., None, None]
+                       * eyec.re,
+                       lam.im[..., None, None] * eyec.re)
+        m = a - shift
+        v = ones(a.shape[:-2] + (n, 1), a.dtype)
+        for _ in range(inv_iters):
+            v = solve(m, v)
+            nrm = jnp.sqrt(jnp.sum(v.abs2(), axis=(-2, -1),
+                                   keepdims=True)) + 1e-30
+            v = CArray(v.re / nrm, v.im / nrm)
+        return v[..., :, 0]
+
+    cols = [vec_for(CArray(w.re[..., i], w.im[..., i])) for i in range(n)]
+    return w, stack(cols, axis=-1)
 
 
 def _diagonal(m: jnp.ndarray) -> jnp.ndarray:

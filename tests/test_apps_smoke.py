@@ -112,12 +112,17 @@ class TestIaApps:
         assert capsys.readouterr().out.strip()
 
     def test_sinrs_and_capacity(self, monkeypatch, capsys):
+        # --crosscheck runs the host ClosedForm solver on the same
+        # realizations and ASSERTS device/host agreement (the apps-level
+        # sum-capacity cross-check for the batched IA family)
         from apps.ia.ia_SINRs_and_capacity import main
         monkeypatch.setattr(sys, "argv",
-                            ["ia_SINRs_and_capacity.py", "--reps", "4",
-                             "--iters", "10"])
+                            ["ia_SINRs_and_capacity.py", "--reps", "16",
+                             "--iters", "10", "--crosscheck", "16"])
         main()
-        assert capsys.readouterr().out.strip()
+        out = capsys.readouterr().out
+        assert "Alt Min" in out and "Closed Form" in out
+        assert "crosscheck" in out
 
 
 class TestCompBDApps:

@@ -180,3 +180,151 @@ class TestBatchedMMSE:
 
         caps = np.asarray(run(jax.random.split(jax.random.PRNGKey(17), 4)))
         assert caps.shape == (4,) and np.all(caps > 0)
+
+
+class TestBatchedAltMin:
+    """VERDICT round-1 item 3: device AlternatingMin, cross-checked
+    against the host solver per-realization (shared fixed F0)."""
+
+    def _setup(self, seed=21):
+        from pyphysim_tpu.channels import MultiUserChannelMatrix
+        mu = MultiUserChannelMatrix()
+        mu.set_channel_seed(seed)
+        mu.randomize(2, 2, 3)
+        mu.noise_var = 0.1
+        bigH = mu.big_H
+        H = bigH.reshape(3, 2, 3, 2).swapaxes(1, 2)
+        return mu, H
+
+    def test_tracks_host_solver_with_shared_init(self):
+        from pyphysim_tpu.ia import AlternatingMinIASolver
+        from pyphysim_tpu.ia.algorithms import _obj_array
+        from pyphysim_tpu.ia.batched import alt_min_solve
+
+        mu, H = self._setup()
+        rng = np.random.RandomState(3)
+        F0_np = []
+        for _ in range(3):
+            f = rng.randn(2, 1) + 1j * rng.randn(2, 1)
+            F0_np.append(f / np.linalg.norm(f, "fro"))
+
+        host = AlternatingMinIASolver(mu)
+        host._F = _obj_array(F0_np)
+        host.initialize_with = "fix"
+        host.max_iterations = 4
+        host.relative_factor = -1.0  # never early-converge
+        host.solve(Ns=1, P=1.0)
+
+        F0 = cplx.stack([cplx.carray(f) for f in F0_np], axis=0)
+        F, U = alt_min_solve(H, jax.random.PRNGKey(0), Ns=1, P=1.0,
+                             iterations=4, F0=F0)
+
+        # eigenvector phases are arbitrary: compare the precoder
+        # PROJECTORS, which the algorithm's trajectory actually lives on
+        for k in range(3):
+            dev = cplx.matmul(F[k], F[k].mH).to_numpy()
+            hst = host.F[k] @ host.F[k].conj().T
+            assert np.allclose(dev, hst, atol=2e-3), k
+
+    def test_cost_decreases_and_aligns(self):
+        from pyphysim_tpu.ia.batched import (alt_min_cost, alt_min_solve,
+                                             random_unit_precoders)
+        _, H = self._setup(seed=4)
+        F0 = random_unit_precoders(jax.random.PRNGKey(1), 3, 2, 1)
+        initial = float(alt_min_cost(H, F0))
+        F, U = alt_min_solve(H, jax.random.PRNGKey(1), Ns=1,
+                             iterations=50)
+        final = float(alt_min_cost(H, F))
+        # K=3, 2x2, Ns=1 is IA-feasible: out-of-subspace interference -> 0
+        assert final < 1e-4 * initial
+        # ZF property: U^H kills the in-subspace interference too
+        from pyphysim_tpu.ia.batched import calc_leakage
+        assert float(calc_leakage(H, F, U)) < 1e-5
+
+    def test_vmap_jit(self):
+        from pyphysim_tpu.ia.batched import alt_min_cost, alt_min_solve
+
+        @jax.jit
+        def run(keys):
+            def one(k):
+                k1, k2 = jax.random.split(k)
+                H = make_H(k1)
+                F, U = alt_min_solve(H, k2, Ns=1, iterations=120)
+                return alt_min_cost(H, F)
+
+            return jax.vmap(one)(keys)
+
+        # alternating minimization converges slowly on some channels
+        # (known property of the algorithm, not the implementation):
+        # 120 fixed iterations puts every draw at numerical alignment
+        costs = np.asarray(run(jax.random.split(jax.random.PRNGKey(6), 4)))
+        assert costs.shape == (4,)
+        assert np.all(costs < 1e-4)
+
+
+class TestBatchedClosedForm:
+    """VERDICT round-1 item 3: 3-user closed-form IA on device, using the
+    general complex eigendecomposition (cplx.ceig)."""
+
+    def _setup(self, seed=11):
+        from pyphysim_tpu.channels import MultiUserChannelMatrix
+        mu = MultiUserChannelMatrix()
+        mu.set_channel_seed(seed)
+        mu.randomize(2, 2, 3)
+        mu.noise_var = 0.1
+        bigH = mu.big_H
+        H = bigH.reshape(3, 2, 3, 2).swapaxes(1, 2)
+        return mu, H
+
+    def test_matches_host_closed_form_capacity(self):
+        from pyphysim_tpu.ia import ClosedFormIASolver
+        from pyphysim_tpu.ia.batched import closed_form_solve
+
+        for seed in (11, 12, 13):
+            mu, H = self._setup(seed)
+            host = ClosedFormIASolver(mu, use_best_init=True)
+            host.solve(Ns=1, P=1.0)
+            host_cap = host.calc_sum_capacity()
+
+            F, U = closed_form_solve(H, Ns=1, P=1.0, noise_var=0.1,
+                                     use_best_init=True)
+            dev_cap = float(sum_capacity(calc_sinrs(H, F, U, 0.1, 1.0)))
+            # same discrete candidate set (up to eigvec phase, which
+            # capacity is invariant to); f32 vs f64 tolerance
+            assert abs(dev_cap - host_cap) / host_cap < 1e-2, \
+                (seed, dev_cap, host_cap)
+
+    def test_exact_alignment(self):
+        from pyphysim_tpu.ia.batched import calc_leakage, closed_form_solve
+        _, H = self._setup(seed=14)
+        F, U = closed_form_solve(H, Ns=1, P=1.0, noise_var=1e-3)
+        # the closed form aligns both interferers into one subspace and
+        # W is its orthogonal complement: leakage ~ 0 by construction
+        assert float(calc_leakage(H, F, U)) < 1e-5
+
+    def test_best_init_beats_first(self):
+        from pyphysim_tpu.ia.batched import closed_form_solve
+        _, H = self._setup(seed=15)
+        Fb, Ub = closed_form_solve(H, Ns=1, noise_var=0.1,
+                                   use_best_init=True)
+        Ff, Uf = closed_form_solve(H, Ns=1, noise_var=0.1,
+                                   use_best_init=False)
+        cb = float(sum_capacity(calc_sinrs(H, Fb, Ub, 0.1, 1.0)))
+        cf = float(sum_capacity(calc_sinrs(H, Ff, Uf, 0.1, 1.0)))
+        assert cb >= cf - 1e-5
+
+    def test_vmap_jit_sweep(self):
+        from pyphysim_tpu.ia.batched import calc_leakage, closed_form_solve
+
+        @jax.jit
+        def run(keys):
+            def one(k):
+                H = make_H(k)
+                F, U = closed_form_solve(H, Ns=1, noise_var=0.1)
+                return calc_leakage(H, F, U)
+
+            return jax.vmap(one)(keys)
+
+        leaks = np.asarray(run(jax.random.split(jax.random.PRNGKey(8), 6)))
+        assert leaks.shape == (6,)
+        assert np.all(leaks < 1e-4)
