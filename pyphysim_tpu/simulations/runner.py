@@ -290,9 +290,24 @@ class SimulationRunner:
             os.path.basename(base), current_params,
             folder or os.path.dirname(base))
 
+    @staticmethod
+    def _is_primary_host() -> bool:
+        """Under multi-process execution only process 0 touches the
+        filesystem (the reference's P3 semantics: partials live on a
+        shared filesystem and are written/deleted once,
+        runner.py:1795-1805). All hosts still LOAD checkpoints — the
+        replicated outputs keep their accounting in lockstep."""
+        import jax
+        try:
+            return jax.process_index() == 0
+        except RuntimeError:  # backend not initialized yet
+            return True
+
     def _save_partial_results(self, current_rep: int,
                               current_params: SimulationParameters,
                               current_sim_results: SimulationResults) -> None:
+        if not self._is_primary_host():
+            return
         filename = self._get_partial_results_filename(current_params)
         if filename is None:
             return
@@ -336,7 +351,7 @@ class SimulationRunner:
         return partial
 
     def __delete_partial_results_maybe(self) -> None:
-        if self.delete_partial_results_bool:
+        if self.delete_partial_results_bool and self._is_primary_host():
             for f in self.__partial_files_to_delete:
                 try:
                     f.unlink()
@@ -359,7 +374,8 @@ class SimulationRunner:
                                    ProgressbarText2, ProgressbarText3)
         styles = {"text1": ProgressbarText, "text2": ProgressbarText2,
                   "text3": ProgressbarText3}
-        if self.update_progress_function_style not in styles:
+        if self.update_progress_function_style not in styles or \
+                not self._is_primary_host():
             return DummyProgressbar()
         source = (current_params.parameters if current_params is not None
                   else self.params.parameters)
@@ -427,7 +443,7 @@ class SimulationRunner:
 
         if param_variation_index is None:
             filename = self._get_results_filename()
-            if filename is not None:
+            if filename is not None and self._is_primary_host():
                 self.results.save_to_file(filename)
             self.__delete_partial_results_maybe()
 
@@ -445,7 +461,7 @@ class SimulationRunner:
         if requested (parity: runner.py:1621-1634). Called automatically
         by :meth:`simulate`; public for reference compatibility."""
         filename = self._get_results_filename()
-        if filename is not None:
+        if filename is not None and self._is_primary_host():
             self.results.save_to_file(filename)
         self.__delete_partial_results_maybe()
 
@@ -587,9 +603,25 @@ class SimulationRunner:
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 key_sharding = NamedSharding(self.mesh, P(self.mesh_axis))
-                run = jax.jit(batched, in_shardings=(key_sharding,))
-            else:
-                run = jax.jit(batched)
+                # Outputs are REPLICATED (an all-gather of counter-sized
+                # arrays): under a multi-process mesh a sharded output
+                # would not be host-addressable, and every host needs the
+                # full per-rep arrays to run the (deterministic, lockstep)
+                # Result accounting — the reference's P2 'results cross
+                # back to the launcher' semantics (runner.py:1857-1886)
+                # without a pickle channel.
+                rep_sharding = NamedSharding(self.mesh, P())
+                run = jax.jit(batched, in_shardings=(key_sharding,),
+                              out_shardings=rep_sharding)
+
+                def executor(keys, prior_metric):
+                    del prior_metric
+                    out = run(self._globalize(keys, key_sharding))
+                    return out, np.ones(keys.shape[0], dtype=bool)
+
+                return executor
+
+            run = jax.jit(batched)
 
             def executor(keys, prior_metric):
                 del prior_metric
@@ -634,10 +666,12 @@ class SimulationRunner:
                 lambda x: x.reshape((-1,) + x.shape[2:]), outs)
             return flat, actives.reshape(-1)
 
+        sub_sharding = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sub_sharding = NamedSharding(self.mesh, P(None, self.mesh_axis))
-            run = jax.jit(chunk_fn, in_shardings=(sub_sharding, None))
+            run = jax.jit(chunk_fn, in_shardings=(sub_sharding, None),
+                          out_shardings=NamedSharding(self.mesh, P()))
         else:
             run = jax.jit(chunk_fn)
 
@@ -645,10 +679,27 @@ class SimulationRunner:
             nk = keys.shape[0]
             sub = nk // n_sub  # nk is a _round_chunk multiple of n_sub
             keys = keys.reshape((n_sub, sub) + keys.shape[1:])
+            if sub_sharding is not None:
+                keys = self._globalize(keys, sub_sharding)
             out, active = run(keys, prior_metric)
             return out, np.asarray(active)
 
         return executor
+
+    @staticmethod
+    def _globalize(x, sharding):
+        """Build a global device array from a host-replicated value.
+
+        Under a multi-process mesh a plain (host-local) array cannot feed
+        a jit whose input sharding spans non-addressable devices; every
+        host computes the SAME key array, so each just contributes its
+        local shards."""
+        import jax
+        if jax.process_count() <= 1:
+            return x
+        host = np.asarray(x)
+        return jax.make_array_from_callback(host.shape, sharding,
+                                            lambda idx: host[idx])
 
     def _stop_metric_value(self, current_results) -> float:
         """Accumulated raw value of the stop-criterion result (SUMTYPE
