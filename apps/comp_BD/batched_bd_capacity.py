@@ -55,7 +55,13 @@ class BatchedBDCapacityRunner(SimulationRunner):
             # per-stream transmit power = column power of the precoder
             p = jnp.sum(Ms.re ** 2 + Ms.im ** 2, axis=-2)
             cap = jnp.sum(jnp.log2(1.0 + p * Sigma ** 2 / nv))
-            return {"sum_capacity": (cap, jnp.asarray(1.0))}
+            # degenerate draw (numerically singular null-space chain):
+            # mark the repetition invalid — the runner excludes it and
+            # retries with a fresh fold_in index, the batch-path form of
+            # the reference's SkipThisOne (runner.py:151-185)
+            valid = jnp.isfinite(cap) & (jnp.min(Sigma) > 1e-6)
+            return {"sum_capacity": (cap, jnp.asarray(1.0)),
+                    "__valid__": valid}
 
         return kernel
 

@@ -848,3 +848,58 @@ class TestConcurrentMultiRunner:
 
         with pytest.raises(RuntimeError, match="kaboom"):
             simulate_do_what_i_mean([_DummyRunner(), Boom()])
+
+
+class TestSkipStopMeshCombination:
+    """The three batch-path mechanisms compose: validity mask + on-device
+    early stop + mesh sharding in one runner."""
+
+    class ComboRunner(SimulationRunner):
+        def __init__(self, stop_limit=None, use_mesh=False):
+            super().__init__(read_command_line_args=False)
+            self.params.add("SNR", np.array([0.0]))
+            self.params.set_unpack_parameter("SNR")
+            self.rep_max = 64
+            self.batch_size = 32
+            self.num_stop_subchunks = 4
+            self.update_progress_function_style = None
+            self.batch_result_types = {"errors": Result.SUMTYPE,
+                                       "payload": Result.RATIOTYPE}
+            if stop_limit is not None:
+                self.batch_stop_criterion = ("errors", stop_limit)
+            if use_mesh:
+                from pyphysim_tpu.parallel.mesh import make_mesh
+                self.mesh = make_mesh()
+
+        def _gen_simulation_kernel(self, p):
+            def kernel(key):
+                u = jax.random.uniform(key)
+                valid = u > 0.15
+                return {"errors": jnp.asarray(10, jnp.int32),
+                        "payload": (jnp.floor(u * 100.0),
+                                    jnp.asarray(1.0)),
+                        "__valid__": valid}
+
+            return kernel
+
+    def test_skip_plus_device_stop(self):
+        r = self.ComboRunner(stop_limit=200.0)
+        r.simulate()
+        # 10 errors per VALID rep; stop once accumulated errors cross
+        # 200 -> 20-ish accepted reps at sub-chunk granularity
+        assert 20 <= r.runned_reps[0] < 64
+        assert r.results["errors"][0].get_result() == \
+            10 * r.runned_reps[0]
+        assert sum(r.results.get_result_values_list(
+            "num_skipped_reps")) > 0
+
+    def test_mesh_matches_unsharded(self):
+        a = self.ComboRunner(stop_limit=200.0, use_mesh=False)
+        b = self.ComboRunner(stop_limit=200.0, use_mesh=True)
+        a.simulate()
+        b.simulate()
+        assert a.runned_reps == b.runned_reps
+        assert a.results["payload"][0]._value == \
+            pytest.approx(b.results["payload"][0]._value)
+        assert a.results.get_result_values_list("num_skipped_reps") == \
+            b.results.get_result_values_list("num_skipped_reps")
