@@ -5,16 +5,28 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 Chain: 16-QAM -> OFDM(512, cp 52, 300 used) -> COST259-TU TDL with Jakes
 Doppler (block-static per OFDM symbol) -> AWGN -> one-tap equalization ->
 hard demodulation -> BER count. Monte Carlo realizations vmapped into one
-jitted program. Runs the fused OFDM-over-TDL path
-(ops/fused_ofdm_tdl.py): the CP both absorbs the convolution tail and is
-discarded, so TX and RX each collapse to ONE matmul and the AWGN is
-injected post-demodulation with the exactly equivalent variance — tests
-pin the fused path's outputs to the time-domain chain's.
+jitted program. TWO numbers are reported:
+
+  * ``value`` (headline): the fused OFDM-over-TDL path
+    (ops/fused_ofdm_tdl.py) — the CP both absorbs the convolution tail
+    and is discarded, so TX and RX each collapse to ONE matmul and the
+    AWGN is injected post-demodulation with the exactly equivalent
+    variance; tests pin the fused path's outputs to the time-domain
+    chain's (tests/test_fused_ofdm_tdl.py).
+  * ``value_time_domain``: the UNFUSED chain — full OFDM transforms and
+    the general per-block convolution through the channel — so the claim
+    "the general channel path is fast" stays independently verifiable.
+
+BER is asserted at LOW / MID / HIGH SNR corners (5 / 15 / 30 dB), not just
+one point, so dtype/precision regressions on either end of the curve fail
+the bench rather than silently shipping.
 
 Measurement notes:
   * dispatch many steps and fetch ONE reduced scalar at the end — on the
     remote-attached TPU, per-step host syncs dominate otherwise and
     ``block_until_ready`` alone under-reports,
+  * every dispatch+fetch costs a fixed ~24 ms through the relay: >= 500
+    scan iterations per dispatch keep it under a few percent,
   * the error count is summed over all steps and sanity-checked against
     the expected BER so the compiler cannot elide work.
 
@@ -26,76 +38,141 @@ North star: >= 1e9 symbols/s/chip.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_SYMBOLS_PER_SEC = 4.3e5  # reference, 1 CPU core (BASELINE.md)
 
+# 16-QAM over the per-subcarrier-Rayleigh OFDM/TDL chain: empirical BER
+# brackets per SNR corner (wide enough for MC noise at ~1e8 bits, tight
+# enough to catch a precision/dtype regression or an elided chain).
+BER_CORNERS = {
+    5.0: (0.08, 0.22),
+    15.0: (0.02, 0.06),
+    30.0: (2e-4, 6e-3),
+}
 
-def bench_ofdm_tdl() -> float:
+
+def _make_key(seed: int):
+    # rbg keys use the TPU hardware RNG (faster than threefry here)
+    try:
+        return jax.random.key(seed, impl="rbg")
+    except TypeError:  # older jax
+        return jax.random.PRNGKey(seed)
+
+
+def _make_runner(step, batch: int, iters: int):
+    """One jitted dispatch: ``iters`` scan steps of a ``batch``-wide vmap,
+    returning the total bit-error count (result-dependent fetch)."""
+
+    @jax.jit
+    def _run(base_key, snr_linear):
+        snrs = jnp.full((batch,), snr_linear)
+
+        def body(carry, i):
+            keys = jax.random.split(jax.random.fold_in(base_key, i), batch)
+            return carry, jnp.sum(jax.vmap(step)(keys, snrs))
+
+        # per-step totals, summed on the host in python ints: a single
+        # int32 accumulator overflows at ~2.1e9 errors (one high-BER
+        # corner at this batch is ~4e9) and the TPU has no int64
+        _, per_step = jax.lax.scan(body, 0, jnp.arange(iters))
+        return per_step
+
+    def run_many(base_key, snr_linear) -> int:
+        return int(np.asarray(_run(base_key, snr_linear),
+                              dtype=np.int64).sum())
+
+    return run_many
+
+
+def bench_ofdm_tdl():
     import pyphysim_tpu.ops.fft as cfft
     cfft.FOUR_STEP_MIN = 10_000  # direct DFT matmul beats 4-step here
     import pyphysim_tpu.channels.fading as fading
     fading.BLOCK_CONV_IMPL = "fft"  # MXU freq-domain conv: 2.19 vs 1.78
     import __graft_entry__ as g
 
-    # batch x num_symbols tuned on v5e for the fused path: 512 x 4800
-    # (10.7 Gsym/s with the diag collapse; 1024 x 4800 measures the same,
-    # 128 x 19200 was the time-domain optimum). iters amortizes the
-    # relay's fixed ~24 ms dispatch+fetch latency — at ~0.23 ms/step,
-    # 2500 iters keeps it under 5%.
-    batch = 512
-    num_symbols = 300 * 16
-    snr_db = 15.0
+    results = {}
+
+    def log(msg):
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
+
+    # ---- fused diag-collapse path (headline) -------------------------
+    # batch x num_symbols tuned on v5e: 512 x 4800 (10.7 Gsym/s with the
+    # diag collapse). iters amortizes the relay's fixed ~24 ms
+    # dispatch+fetch latency — at ~0.23 ms/step, 2500 iters keeps it
+    # under 5%.
+    batch, num_symbols, iters = 512, 300 * 16, 2500
     step = g._make_chain_step(num_symbols=num_symbols, fft_size=512,
                               cp_size=52, num_used=300, block_static=True,
                               precision=jax.lax.Precision.DEFAULT,
                               signal_dtype=jnp.bfloat16, fused=True)
-
-    snrs = jnp.full((batch,), 10 ** (snr_db / 10.0))
-    iters = 2500
-
-    @jax.jit
-    def run_many(base_key):
-        def body(carry, i):
-            keys = jax.random.split(jax.random.fold_in(base_key, i), batch)
-            return carry + jnp.sum(jax.vmap(step)(keys, snrs)), 0
-
-        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32),
-                                jnp.arange(iters))
-        return total
-
-    # rbg keys use the TPU hardware RNG (faster than threefry here)
-    def make_key(seed):
-        try:
-            return jax.random.key(seed, impl="rbg")
-        except TypeError:  # older jax
-            return jax.random.PRNGKey(seed)
+    run_many = _make_runner(step, batch, iters)
+    bits = batch * num_symbols * 4 * iters
 
     # compile + warm up (forces one real round trip)
-    int(run_many(make_key(0)))
+    log("fused: compiling + warmup")
+    run_many(_make_key(0), 10 ** 1.5)
+    log("fused: warm")
+
+    # BER corners: same compiled program, one dispatch per corner
+    for snr_db, (lo, hi) in BER_CORNERS.items():
+        ber = run_many(_make_key(2), 10 ** (snr_db / 10.0)) / bits
+        log(f"fused: BER at {snr_db} dB = {ber:.5f}")
+        assert lo < ber < hi, f"implausible BER {ber} at {snr_db} dB"
+        results[f"ber_{snr_db:g}dB"] = ber
 
     t0 = time.perf_counter()
-    total_errors = int(run_many(make_key(1)))
+    total_errors = run_many(_make_key(1), 10 ** 1.5)
     dt = time.perf_counter() - t0
+    lo, hi = BER_CORNERS[15.0]
+    assert lo < total_errors / bits < hi
+    results["value"] = batch * num_symbols * iters / dt
+    log(f"fused: {results['value']:.3e} sym/s")
 
-    # sanity: BER at 15 dB for this chain is ~0.037; a wildly different
-    # value means the chain was broken or elided
-    ber = total_errors / (batch * num_symbols * 4 * iters)
-    assert 0.02 < ber < 0.06, f"implausible BER {ber}"
-
-    return batch * num_symbols * iters / dt
+    # ---- unfused time-domain chain -----------------------------------
+    # batch x num_symbols tuned on v5e for the general path: 128 x 19200;
+    # ~1 ms/step -> 600 iters keeps the relay latency negligible.
+    batch, num_symbols, iters = 128, 300 * 64, 600
+    step_td = g._make_chain_step(num_symbols=num_symbols, fft_size=512,
+                                 cp_size=52, num_used=300,
+                                 block_static=True,
+                                 precision=jax.lax.Precision.DEFAULT,
+                                 signal_dtype=jnp.bfloat16, fused=False)
+    run_td = _make_runner(step_td, batch, iters)
+    bits = batch * num_symbols * 4 * iters
+    log("time-domain: compiling + warmup")
+    run_td(_make_key(0), 10 ** 1.5)
+    log("time-domain: warm")
+    t0 = time.perf_counter()
+    total_errors = run_td(_make_key(1), 10 ** 1.5)
+    dt = time.perf_counter() - t0
+    ber = total_errors / bits
+    lo, hi = BER_CORNERS[15.0]
+    assert lo < ber < hi, f"implausible time-domain BER {ber}"
+    results["value_time_domain"] = batch * num_symbols * iters / dt
+    log(f"time-domain: {results['value_time_domain']:.3e} sym/s")
+    return results
 
 
 def main() -> None:
-    value = bench_ofdm_tdl()
+    r = bench_ofdm_tdl()
     print(json.dumps({
         "metric": "simulated QAM symbols/s/chip (OFDM+TDL chain)",
-        "value": value,
+        "value": r["value"],
         "unit": "symbols/s",
-        "vs_baseline": value / BASELINE_SYMBOLS_PER_SEC,
+        "vs_baseline": r["value"] / BASELINE_SYMBOLS_PER_SEC,
+        "value_time_domain": r["value_time_domain"],
+        "vs_baseline_time_domain":
+            r["value_time_domain"] / BASELINE_SYMBOLS_PER_SEC,
+        "ber_corners": {k: v for k, v in r.items()
+                        if k.startswith("ber_")},
     }))
 
 
