@@ -33,8 +33,9 @@ from ..ops.cplx import CArray
 
 __all__ = ["max_sinr_solve", "min_leakage_solve", "mmse_solve",
            "alt_min_solve", "alt_min_cost", "closed_form_solve",
-           "calc_sinrs", "sum_capacity", "calc_leakage",
-           "random_unit_precoders"]
+           "brute_force_stream_solve", "stream_combinations",
+           "svd_init_precoders", "calc_sinrs", "sum_capacity",
+           "calc_leakage", "random_unit_precoders"]
 
 
 def _normalize_fro(f: CArray) -> CArray:
@@ -43,17 +44,49 @@ def _normalize_fro(f: CArray) -> CArray:
 
 
 def random_unit_precoders(key: jax.Array, K: int, Nt: int,
-                          Ns: int) -> CArray:
-    """Random unit-Frobenius-norm precoders, shape (K, Nt, Ns)."""
+                          Ns) -> CArray:
+    """Random unit-Frobenius-norm precoders, shape (K, Nt, ns_max);
+    ``Ns`` may be an int or a per-user tuple (zero columns beyond each
+    user's count)."""
     from ..utils.misc import randn_c
-    f = randn_c(key, K, Nt, Ns)
+    ns = _as_ns(Ns, K)
+    ns_max = max(ns)
+    f = randn_c(key, K, Nt, ns_max)
+    if len(set(ns)) > 1:
+        mask = jnp.asarray([[1.0] * n + [0.0] * (ns_max - n) for n in ns],
+                           f.re.dtype)[:, None, :]
+        f = CArray(f.re * mask, f.im * mask)
     return _normalize_fro(f)
 
 
+def _as_ns(Ns, K: int) -> Tuple[int, ...]:
+    """Per-user stream counts as a static tuple. An int means uniform.
+
+    Per-user counts support the stream-search meta-algorithms
+    (reference BruteForceStreamIASolver, algorithms.py:2057-2234):
+    tensors stay RECTANGULAR at the maximum count and users with fewer
+    streams carry zero precoder/filter columns — zero columns contribute
+    nothing to any gram/covariance, and the per-stream loops are static,
+    so masked entries are simply never computed."""
+    if isinstance(Ns, (int,)):
+        return (int(Ns),) * K
+    return tuple(int(n) for n in Ns)
+
+
+def _pad_cols(x: CArray, total: int) -> CArray:
+    """Zero-pad the last axis (stream columns) to ``total``."""
+    missing = total - x.shape[-1]
+    if missing == 0:
+        return x
+    pad = cplx.zeros(x.shape[:-1] + (missing,), x.re.dtype)
+    return cplx.concatenate([x, pad], axis=-1)
+
+
 def _bkl_covariances(H: CArray, F: CArray, k: int, noise_var,
-                     P, Ns: int) -> list:
-    """Bkl (eq. 28) for all streams of user k. ``F``: (K, Nt, Ns)
-    unit-Frobenius-norm precoders; powers P (K,).
+                     P, Ns) -> list:
+    """Bkl (eq. 28) for the ACTIVE streams of user k. ``F``: (K, Nt,
+    ns_max) unit-Frobenius-norm precoders (zero columns beyond each
+    user's count); powers P (K,).
 
     Power convention matches the reference's ``full_F = sqrt(P) * F``
     (iabase.py): the TOTAL power of user j is P[j]; per-stream power is
@@ -62,17 +95,18 @@ def _bkl_covariances(H: CArray, F: CArray, k: int, noise_var,
     dividing by Ns on top of the column norms would double-count it
     (invisible at Ns=1, wrong for Ns>1)."""
     K = H.shape[0]
+    ns = _as_ns(Ns, K)
     Nr = H.shape[2]
     eye = cplx.eye(Nr)
     first = CArray(noise_var * eye.re, eye.im * 0.0)
     for j in range(K):
         scale = P[j]
-        hf = cplx.matmul(H[k, j], F[j])          # (Nr, Ns)
+        hf = cplx.matmul(H[k, j], F[j])          # (Nr, ns_max)
         gram = cplx.matmul(hf, hf.mH)
         first = first + CArray(gram.re * scale, gram.im * scale)
     out = []
-    hkk_f = cplx.matmul(H[k, k], F[k])           # (Nr, Ns)
-    for l in range(Ns):
+    hkk_f = cplx.matmul(H[k, k], F[k])           # (Nr, ns_max)
+    for l in range(ns[k]):
         v = hkk_f[..., :, l:l + 1]
         second = cplx.matmul(v, v.mH)
         scale = P[k]
@@ -80,38 +114,72 @@ def _bkl_covariances(H: CArray, F: CArray, k: int, noise_var,
     return out
 
 
-def _update_filters(H: CArray, F: CArray, noise_var, P,
-                    Ns: int) -> CArray:
-    """Per-stream max-SINR receive filters U (K, Nr, Ns)."""
+def _update_filters(H: CArray, F: CArray, noise_var, P, Ns) -> CArray:
+    """Per-stream max-SINR receive filters U (K, Nr, ns_max); inactive
+    stream columns stay zero."""
     K = H.shape[0]
+    ns = _as_ns(Ns, K)
+    ns_max = max(ns)
     us = []
     for k in range(K):
-        bkls = _bkl_covariances(H, F, k, noise_var, P, Ns)
+        bkls = _bkl_covariances(H, F, k, noise_var, P, ns)
         cols = []
         hkk_f = cplx.matmul(H[k, k], F[k])
-        for l in range(Ns):
+        for l in range(ns[k]):
             rhs = hkk_f[..., :, l:l + 1]
             ukl = cplx.solve(bkls[l], rhs)
             nrm = jnp.sqrt(jnp.sum(ukl.abs2(), axis=(-2, -1),
                                    keepdims=True))
             cols.append(CArray(ukl.re / nrm, ukl.im / nrm))
-        uk = cplx.concatenate(cols, axis=-1)
+        uk = _pad_cols(cplx.concatenate(cols, axis=-1), ns_max)
         us.append(_normalize_fro(uk))
     return cplx.stack(us, axis=0)
 
 
-def max_sinr_solve(H: CArray, key: jax.Array, Ns: int = 1,
+def svd_init_precoders(H: CArray, Ns) -> CArray:
+    """Deterministic 'svd' initialization: F_k = the ns_k dominant right
+    singular vectors of the direct channel H_kk, unit Frobenius norm
+    (reference ``_initialize_F_with_svd_and_find_W``,
+    algorithms.py:183-197). Zero-padded to the maximum stream count."""
+    K = H.shape[0]
+    ns = _as_ns(Ns, K)
+    ns_max = max(ns)
+    fs = []
+    for k in range(K):
+        _, _, vh = cplx.svd(H[k, k])
+        f = vh.mH[..., :, :ns[k]]
+        fs.append(_pad_cols(_normalize_fro(f), ns_max))
+    return cplx.stack(fs, axis=0)
+
+
+def max_sinr_solve(H: CArray, key: jax.Array, Ns=1,
                    P: float = 1.0, noise_var: float = 0.1,
-                   iterations: int = 20) -> Tuple[CArray, CArray]:
+                   iterations: int = 20,
+                   init: str = "random") -> Tuple[CArray, CArray]:
     """Fixed-iteration Max-SINR IA.
 
-    ``H``: (K, K, Nr, Nt) CArray. Returns ``(F, U)`` with
-    F (K, Nt, Ns) normalized precoders and U (K, Nr, Ns) receive
-    filters. vmap over leading axes of H/key for Monte Carlo batches.
+    ``H``: (K, K, Nr, Nt) CArray. ``Ns``: int or per-user tuple of
+    stream counts (tensors padded to the max; see :func:`_as_ns`).
+    ``init``: 'random' (key-seeded) or 'svd' (deterministic, the
+    reference's brute-force-search initialization). Returns ``(F, U)``
+    with F (K, Nt, ns_max) normalized precoders and U (K, Nr, ns_max)
+    receive filters. vmap over leading axes of H/key for Monte Carlo
+    batches.
     """
     K = H.shape[0]
-    p_vec = jnp.full((K,), P)
-    F = random_unit_precoders(key, K, int(H.shape[3]), Ns)
+    ns = _as_ns(Ns, K)
+    # Power scales follow the reference EXACTLY, which is asymmetric for
+    # Ns > 1: the FORWARD Bkl builds on full_F = sqrt(P) * F (scale
+    # P[j]; iabase._calc_Bkl_cov_matrix_first_part), while the REVERSE
+    # network treats the fro-normalized receive filters W as precoders
+    # with per-stream power P[j]/Ns[j]
+    # (algorithms.MaxSinrIASolver._calc_Bkl_cov_matrix_first_part_rev).
+    p_fwd = jnp.full((K,), P)
+    p_rev = p_fwd / jnp.asarray(ns, p_fwd.dtype)
+    if init == "svd":
+        F = svd_init_precoders(H, ns)
+    else:
+        F = random_unit_precoders(key, K, int(H.shape[3]), ns)
     # reverse network channel: H_rev[k, l] = H[l, k]^H
     Hrev = cplx.stack([
         cplx.stack([H[l, k].mH for l in range(K)], axis=0)
@@ -119,12 +187,12 @@ def max_sinr_solve(H: CArray, key: jax.Array, Ns: int = 1,
 
     def body(carry, _):
         F_cur = carry
-        U = _update_filters(H, F_cur, noise_var, p_vec, Ns)
-        F_new = _update_filters(Hrev, U, noise_var, p_vec, Ns)
+        U = _update_filters(H, F_cur, noise_var, p_fwd, ns)
+        F_new = _update_filters(Hrev, U, noise_var, p_rev, ns)
         return F_new, 0
 
     F, _ = jax.lax.scan(body, F, jnp.arange(iterations))
-    U = _update_filters(H, F, noise_var, p_vec, Ns)
+    U = _update_filters(H, F, noise_var, p_fwd, ns)
     return F, U
 
 
@@ -486,25 +554,95 @@ def closed_form_solve(H: CArray, Ns: int = 1, P: float = 1.0,
 
 
 def calc_sinrs(H: CArray, F: CArray, U: CArray, noise_var,
-               P: float = 1.0) -> jnp.ndarray:
-    """Per-stream SINRs, shape (K, Ns) (Cadambe2008 eq. 28/29)."""
+               P: float = 1.0, Ns=None) -> jnp.ndarray:
+    """Per-stream SINRs, shape (K, ns_max) (Cadambe2008 eq. 28/29).
+
+    ``Ns``: optional per-user stream counts (int or tuple); defaults to
+    every column of F. Inactive (zero-padded) streams report SINR 0, so
+    :func:`sum_capacity` adds ``log2(1) = 0`` for them."""
     K = H.shape[0]
-    Ns = F.shape[-1]
+    ns = _as_ns(F.shape[-1] if Ns is None else Ns, K)
+    ns_max = F.shape[-1]
     p_vec = jnp.full((K,), P)
     rows = []
     for k in range(K):
-        bkls = _bkl_covariances(H, F, k, noise_var, p_vec, Ns)
+        bkls = _bkl_covariances(H, F, k, noise_var, p_vec, ns)
         hkk_f = cplx.matmul(H[k, k], F[k])
         scale = P
         vals = []
-        for l in range(Ns):
+        for l in range(ns[k]):
             ukl = U[k][..., :, l:l + 1]
             aux = cplx.matmul(ukl.mH, hkk_f[..., :, l:l + 1])
             num = scale * aux.abs2()[..., 0, 0]
             den = cplx.matmul(ukl.mH, cplx.matmul(bkls[l], ukl))
             vals.append(num / jnp.abs(den.re[..., 0, 0]))
+        vals += [jnp.zeros_like(vals[0])] * (ns_max - ns[k])
         rows.append(jnp.stack(vals, axis=-1))
     return jnp.stack(rows, axis=-2)
+
+
+def brute_force_stream_solve(H: CArray, key: jax.Array, max_Ns=2,
+                             P: float = 1.0, noise_var: float = 0.1,
+                             iterations: int = 20,
+                             solver=max_sinr_solve):
+    """Exhaustive per-user stream-count search, entirely on device.
+
+    Behavioral counterpart of the reference's BruteForceStreamIASolver
+    (algorithms.py:2057-2234): every combination in the cartesian
+    product ``prod_k {1..max_Ns_k}`` is solved with the DETERMINISTIC
+    'svd' initialization; the best sum capacity wins. The combination
+    loop is static (unrolled at trace time) and the winner is selected
+    with a one-hot argmax contraction, so the whole search jits and
+    vmaps over channel batches — the reference runs it one numpy solve
+    at a time.
+
+    Returns ``(F, U, best_index, capacities)`` where F/U are padded to
+    the global maximum stream count, ``best_index`` indexes
+    ``stream_combinations(max_Ns, K)`` and ``capacities`` has one entry
+    per combination (the reference's ``every_sum_capacity``).
+
+    Deliberate delta: the reference re-scores degenerate (infeasible)
+    combinations AFTER ``_solve_finalize`` drops their collapsed
+    precoder dimensions (algorithms.py:247-281), which can relabel the
+    winner by epsilon; here every combination scores its honest
+    un-cleaned capacity. Winner capacities agree within float tolerance
+    (tests pin this); winner LABELS can differ when two combinations
+    are statistically equivalent.
+    """
+    K = H.shape[0]
+    combos = stream_combinations(max_Ns, K)
+    ns_glob = max(max(c) for c in combos)
+
+    Fs, Us, caps = [], [], []
+    for comb in combos:
+        F, U = solver(H, key, Ns=comb, P=P, noise_var=noise_var,
+                      iterations=iterations, init="svd")
+        caps.append(sum_capacity(
+            calc_sinrs(H, F, U, noise_var, P, Ns=comb)))
+        Fs.append(_pad_cols(F, ns_glob))
+        Us.append(_pad_cols(U, ns_glob))
+
+    caps = jnp.stack(caps, axis=-1)              # (..., C)
+    best = jnp.argmax(caps, axis=-1)
+    onehot = jax.nn.one_hot(best, len(combos), dtype=H.re.dtype)
+    F_all = cplx.stack(Fs, axis=0)               # (C, ..., K, Nt, ns)
+    U_all = cplx.stack(Us, axis=0)
+
+    def select(stacked: CArray) -> CArray:
+        w = jnp.moveaxis(onehot, -1, 0).reshape(
+            (len(combos),) + onehot.shape[:-1] + (1, 1, 1))
+        return CArray(jnp.sum(stacked.re * w, axis=0),
+                      jnp.sum(stacked.im * w, axis=0))
+
+    return select(F_all), select(U_all), best, caps
+
+
+def stream_combinations(max_Ns, K: int) -> Tuple[Tuple[int, ...], ...]:
+    """The static candidate list of :func:`brute_force_stream_solve`:
+    cartesian product of per-user stream counts ``1..max_Ns_k``
+    (reference algorithms.py:2100-2105)."""
+    per_user = [range(1, n + 1) for n in _as_ns(max_Ns, K)]
+    return tuple(itertools.product(*per_user))
 
 
 def sum_capacity(sinrs: jnp.ndarray) -> jnp.ndarray:
