@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Stream-selection statistics via the DEVICE brute-force search.
+
+Counterpart of the reference's greedy/brute stream-selection statistics
+pipeline (apps/ia/simulate_greedy_ia.py + greedy_statistics.py): for each
+SNR, Monte Carlo channels are solved with
+:func:`pyphysim_tpu.ia.batched.brute_force_stream_solve` — every per-user
+stream-count combination, deterministic svd init, winner by sum capacity
+— and the chosen combination feeds a CHOICETYPE histogram Result, all
+through the runner's batch path (one jitted program per SNR).
+
+Run:  python apps/ia/batched_stream_selection.py [--reps 64] [--iters 12]
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyphysim_tpu.ia.batched import (brute_force_stream_solve,
+                                     stream_combinations)
+from pyphysim_tpu.simulations import Result, SimulationRunner
+from pyphysim_tpu.utils.conversion import dB2Linear
+from pyphysim_tpu.utils.misc import randn_c
+
+
+class StreamSelectionRunner(SimulationRunner):
+    """Brute-force stream selection over iid Rayleigh MIMO-IC channels."""
+
+    def __init__(self, K=3, Nr=2, Nt=2, max_Ns=2, iters=12, reps=64):
+        super().__init__(read_command_line_args=False)
+        self.params.add("SNR", np.array([0.0, 10.0, 20.0]))
+        self.params.set_unpack_parameter("SNR")
+        self.rep_max = reps
+        self.K, self.Nr, self.Nt, self.max_Ns = K, Nr, Nt, max_Ns
+        self.iters = iters
+        self.combos = stream_combinations(max_Ns, K)
+        self.update_progress_function_style = None
+        self.batch_result_types = {
+            "stream_choice": (Result.CHOICETYPE, len(self.combos)),
+            "sum_capacity": Result.RATIOTYPE,
+        }
+
+    def _gen_simulation_kernel(self, p):
+        noise_var = float(1.0 / dB2Linear(float(p["SNR"])))
+        K, Nr, Nt = self.K, self.Nr, self.Nt
+        max_Ns, iters = self.max_Ns, self.iters
+
+        def kernel(key):
+            H = randn_c(key, K, K, Nr, Nt)
+            _, _, best, caps = brute_force_stream_solve(
+                H, key, max_Ns=max_Ns, noise_var=noise_var,
+                iterations=iters)
+            return {"stream_choice": best,
+                    "sum_capacity": (jnp.max(caps, axis=-1),
+                                     jnp.asarray(1.0))}
+
+        return kernel
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--reps", type=int, default=64)
+    parser.add_argument("--iters", type=int, default=12)
+    args = parser.parse_args()
+
+    runner = StreamSelectionRunner(iters=args.iters, reps=args.reps)
+    runner.simulate()
+
+    snrs = runner.params["SNR"]
+    print(f"{args.reps} channels/SNR, combos {runner.combos}")
+    for i, snr in enumerate(np.atleast_1d(snrs)):
+        hist = runner.results["stream_choice"][i].get_result()
+        cap = runner.results["sum_capacity"][i].get_result()
+        pct = ", ".join(f"{c}:{100 * h:.0f}%"
+                        for c, h in zip(runner.combos, hist) if h > 0)
+        print(f"SNR {snr:5.1f} dB: mean best capacity {cap:6.3f}  [{pct}]")
+
+
+if __name__ == "__main__":
+    main()

@@ -198,3 +198,27 @@ class TestStandaloneApps:
                              "--dir", str(tmp_path / "cb")])
         main()
         assert capsys.readouterr().out.strip()
+
+
+class TestBatchedStreamSelection:
+    def test_runs_and_prefers_more_streams_at_high_snr(self, monkeypatch,
+                                                       capsys):
+        from apps.ia.batched_stream_selection import (
+            StreamSelectionRunner, main)
+        monkeypatch.setattr(sys, "argv",
+                            ["batched_stream_selection.py", "--reps", "16",
+                             "--iters", "8"])
+        main()
+        out = capsys.readouterr().out
+        assert "mean best capacity" in out
+
+    def test_histogram_semantics(self):
+        from apps.ia.batched_stream_selection import StreamSelectionRunner
+        r = StreamSelectionRunner(iters=8, reps=16)
+        r.simulate()
+        for i in range(3):
+            hist = r.results["stream_choice"][i].get_result()
+            assert np.isclose(hist.sum(), 1.0)  # CHOICETYPE fractions
+        # capacity grows with SNR
+        caps = r.results.get_result_values_list("sum_capacity")
+        assert caps[0] < caps[1] < caps[2]
