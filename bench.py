@@ -137,9 +137,10 @@ def bench_ofdm_tdl():
     log(f"fused: {results['value']:.3e} sym/s")
 
     # ---- unfused time-domain chain -----------------------------------
-    # batch x num_symbols tuned on v5e for the general path: 128 x 19200;
-    # ~1 ms/step -> 600 iters keeps the relay latency negligible.
-    batch, num_symbols, iters = 128, 300 * 64, 600
+    # batch x num_symbols swept on v5e for the general path: 256 x 9600
+    # (3.18e9) edges 128 x 19200 (3.12e9) and 64 x 38400 (2.61e9);
+    # ~0.8 ms/step -> 600 iters keeps the relay latency negligible.
+    batch, num_symbols, iters = 256, 300 * 32, 600
     step_td = g._make_chain_step(num_symbols=num_symbols, fft_size=512,
                                  cp_size=52, num_used=300,
                                  block_static=True,
