@@ -68,6 +68,13 @@ def _u01(bits) -> jnp.ndarray:
         jnp.float32(0.5)
 
 
+def _u11(bits) -> jnp.ndarray:
+    """uint32 bits -> float32 uniform in [-1, 1): single multiply on the
+    signed-int32 view (= 2 * _u01(bits) - 1 with one rounding step)."""
+    i32 = bits.astype(jnp.int32) if bits.dtype != jnp.int32 else bits
+    return i32.astype(jnp.float32) * jnp.float32(2.0 ** -31)
+
+
 def _inv_gray(p):
     """Arithmetic inverse Gray code (xor-prefix), exact for < 8 bits."""
     out = p
@@ -215,10 +222,8 @@ class MonteCarloOfdmTdl:
         # Box-Muller's log+sqrt+sincos. Same construction (and the same
         # f32 ~3.9-sigma reach) as jax.random.normal.
         sqrt2 = f32(math.sqrt(2.0))
-        z1 = jnp.maximum(f32(2.0) * _u01(n1_bits) - f32(1.0),
-                         f32(-0.99999994))
-        z2 = jnp.maximum(f32(2.0) * _u01(n2_bits) - f32(1.0),
-                         f32(-0.99999994))
+        z1 = jnp.maximum(_u11(n1_bits), f32(-0.99999994))
+        z2 = jnp.maximum(_u11(n2_bits), f32(-0.99999994))
         n_re = jax.lax.erf_inv(z1) * sqrt2
         n_im = jax.lax.erf_inv(z2) * sqrt2
 

@@ -71,12 +71,15 @@ def _model_counts(mc, pb, db, n1, n2, amp):
             x = ((2 * jj - (Lq - 1)) +
                  1j * ((Lq - 1) - 2 * ii)) / mc._qam_scale
             from scipy.special import erfinv
-            z1 = np.maximum(
-                2.0 * np.asarray(_u01(n1[r, s * tile:(s + 1) * tile]))
-                - 1.0, -0.99999994)
-            z2 = np.maximum(
-                2.0 * np.asarray(_u01(n2[r, s * tile:(s + 1) * tile]))
-                - 1.0, -0.99999994)
+
+            def u11(bits):
+                return np.asarray(bits).astype(np.int32).astype(
+                    np.float32) * np.float32(2.0 ** -31)
+
+            z1 = np.maximum(u11(n1[r, s * tile:(s + 1) * tile]),
+                            -0.99999994)
+            z2 = np.maximum(u11(n2[r, s * tile:(s + 1) * tile]),
+                            -0.99999994)
             noise = (erfinv(z1) + 1j * erfinv(z2)) * np.sqrt(2.0)
             y = x * H + amp * noise
             eq = y * np.conj(H) / (np.abs(H) ** 2 + 1e-30)
