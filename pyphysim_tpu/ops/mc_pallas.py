@@ -258,22 +258,29 @@ class MonteCarloOfdmTdl:
     # ------------------------------------------------------------------
 
     def build(self, reps: int, num_tiles: int):
-        """Jitted ``(seed:int32, snr_linear) -> (reps, num_tiles) int32``
-        error counts; everything generated on device from the hardware
-        PRNG. Symbols simulated per call:
-        ``reps * num_tiles * tile * num_used``."""
+        """Jitted ``(seed:int32, snr_linear[, start]) ->
+        (reps, num_tiles) int32`` error counts; everything generated on
+        device from the hardware PRNG. Symbols simulated per call:
+        ``reps * num_tiles * tile * num_used``.
+
+        ``start`` offsets the per-repetition stream index: repetition
+        ``r`` draws from streams keyed by ``(seed, start + r)``, so a
+        caller batching attempts in chunks (the runner's bulk-kernel
+        path) gets chunk-size-invariant, resumable randomness."""
         tile, used_p, TLp = self._tile, self._used_p, self._TLp
 
         def kernel(seed_ref, amp_ref, g_re_ref, g_im_ref, out_ref):
             r = pl.program_id(0)
             s = pl.program_id(1)
+            r_abs = seed_ref[1] + r
             # Mosaic accepts at most 2 seed values, so the second packs
             # (rep, tile, stream): even = per-rep ray stream (identical
             # for every tile of rep r, keeping the channel continuous),
             # odd = per-tile data/noise stream.
-            pltpu.prng_seed(seed_ref[0], r << 1)
+            pltpu.prng_seed(seed_ref[0], r_abs << 1)
             phase_bits = pltpu.prng_random_bits((8, TLp))
-            pltpu.prng_seed(seed_ref[0], ((r * num_tiles + s) << 1) | 1)
+            pltpu.prng_seed(seed_ref[0],
+                            ((r_abs * num_tiles + s) << 1) | 1)
             data_bits = pltpu.prng_random_bits((tile, used_p))
             n1_bits = pltpu.prng_random_bits((tile, used_p))
             n2_bits = pltpu.prng_random_bits((tile, used_p))
@@ -302,11 +309,12 @@ class MonteCarloOfdmTdl:
         )
 
         @jax.jit
-        def run(seed, snr_linear):
+        def run(seed, snr_linear, start=0):
             amp = (jnp.sqrt(0.5 / snr_linear) *
                    self._noise_gain).astype(jnp.float32)
-            return call(jnp.reshape(seed, (1,)).astype(jnp.int32),
-                        jnp.reshape(amp, (1,)),
+            seeds = jnp.stack([jnp.asarray(seed, jnp.int32),
+                               jnp.asarray(start, jnp.int32)])
+            return call(seeds, jnp.reshape(amp, (1,)),
                         self._g_re.astype(md), self._g_im.astype(md))
 
         return run

@@ -211,6 +211,34 @@ class SimulationRunner:
         the serial path."""
         return None
 
+    def _gen_bulk_kernel(
+            self, current_parameters: SimulationParameters
+    ) -> Optional[Callable]:
+        """Bring-your-own-batching path, for kernels that own their rep
+        dimension (e.g. a Pallas program generating data/noise from the
+        in-kernel hardware PRNG — see ``ops/mc_pallas.py`` and
+        ``apps/ofdm/ofdm_mc_kernel.py``).
+
+        Return ``fn(start: int, n: int) -> {name: out}`` where every
+        ``out`` has leading axis ``n`` (or is a ``(values, totals)``
+        pair of such arrays for RATIOTYPE); declare the Result types in
+        ``self.batch_result_types`` exactly like the per-key path. The
+        reserved ``"__valid__"`` mask and its skip-and-retry accounting
+        apply unchanged.
+
+        Contract: attempt ``start + i``'s randomness must depend only on
+        ``(base_seed, unpack_index, start + i)`` — that is what makes
+        results chunk-size invariant and checkpoint/resume exact, the
+        property the per-key path gets from its fold_in schedule. ``n``
+        is always the full batch size: bulk kernels typically recompile
+        per distinct ``n``, so the runner never requests a smaller tail
+        chunk and instead discards surplus rows past the accepted
+        prefix. Device placement/sharding is the kernel's own
+        responsibility; ``batch_stop_criterion`` applies at chunk
+        granularity only. Takes precedence over
+        ``_gen_simulation_kernel``. Return None (default) if unused."""
+        return None
+
     # noinspection PyUnusedLocal
     def _keep_going(self, current_params: SimulationParameters,
                     current_sim_results: SimulationResults,
@@ -504,9 +532,15 @@ class SimulationRunner:
         pbar = self._get_progress_bar(variation_index, num_variations,
                                       self.rep_max, current_params)
 
-        kernel = self._gen_simulation_kernel(current_params)
+        bulk = self._gen_bulk_kernel(current_params)
+        kernel = (self._gen_simulation_kernel(current_params)
+                  if bulk is None else None)
         tic = time.time()
-        if kernel is not None:
+        if bulk is not None:
+            current_rep = self._bulk_loop(bulk, current_params,
+                                          current_results, current_rep,
+                                          pbar)
+        elif kernel is not None:
             current_rep = self._batch_loop(kernel, current_params,
                                            current_results, current_rep,
                                            pbar)
@@ -768,44 +802,8 @@ class SimulationRunner:
             out = jax.tree_util.tree_map(np.asarray, out)
             elapsed = time.time() - tic
 
-            valid = out.pop("__valid__", None)
-            if valid is None:
-                valid = np.ones(nk, dtype=bool)
-            else:
-                valid = np.asarray(valid).astype(bool)
-            # ``active`` is True on a prefix of the chunk (sub-chunk
-            # granular); attempts after the stop point never ran and do
-            # not consume fold_in indices.
-            candidates = valid & active
-            cand_pos = np.flatnonzero(candidates)
-            if len(cand_pos) >= needed:
-                last = int(cand_pos[needed - 1])
-                accept = candidates & (np.arange(nk) <= last)
-                consumed = last + 1
-            else:
-                accept = candidates
-                consumed = int(np.count_nonzero(active))
-            n_accept = int(np.count_nonzero(accept))
-            n_skip = consumed - int(np.count_nonzero(accept[:consumed]))
-
-            chunk_results = SimulationResults()
-            for name, spec in self.batch_result_types.items():
-                if name not in out:
-                    raise RuntimeError(
-                        f"Kernel did not produce declared result {name!r}")
-                type_code, choice_num = self._parse_type_spec(spec)
-                r = Result(name, type_code, choice_num=choice_num)
-                value = out[name]
-                if isinstance(value, tuple):
-                    r.update_batch(value[0][accept], value[1][accept])
-                else:
-                    r.update_batch(np.asarray(value)[accept])
-                chunk_results.add_result(r)
-            chunk_results.add_result(
-                Result.create("elapsed_time", Result.SUMTYPE, elapsed))
-            chunk_results.add_result(
-                Result.create("num_skipped_reps", Result.SUMTYPE, n_skip))
-            current_results.merge_all_results(chunk_results)
+            n_accept, consumed, n_skip = self._consume_chunk(
+                out, active, nk, needed, elapsed, current_results)
 
             current_rep += n_accept
             cursor += consumed
@@ -814,6 +812,96 @@ class SimulationRunner:
                                              current_results)
             if n_accept == 0 and n_skip == 0:
                 # device early stop gated the whole chunk off
+                break
+        self._merge_skip_count(current_results, 0)
+        return current_rep
+
+    def _consume_chunk(self, out, active, nk, needed, elapsed,
+                       current_results) -> Tuple[int, int, int]:
+        """Accept-prefix + skip accounting + Result merging for one chunk
+        of attempt outputs (shared by the vmapped and bulk batch paths).
+
+        ``active`` is True on a prefix of the chunk (sub-chunk granular
+        early stop); attempts after the stop point never ran and do not
+        consume stream indices. Returns (n_accept, consumed, n_skip)."""
+        valid = out.pop("__valid__", None)
+        if valid is None:
+            valid = np.ones(nk, dtype=bool)
+        else:
+            valid = np.asarray(valid).astype(bool)
+        candidates = valid & active
+        cand_pos = np.flatnonzero(candidates)
+        if len(cand_pos) >= needed:
+            last = int(cand_pos[needed - 1])
+            accept = candidates & (np.arange(nk) <= last)
+            consumed = last + 1
+        else:
+            accept = candidates
+            consumed = int(np.count_nonzero(active))
+        n_accept = int(np.count_nonzero(accept))
+        n_skip = consumed - int(np.count_nonzero(accept[:consumed]))
+
+        chunk_results = SimulationResults()
+        for name, spec in self.batch_result_types.items():
+            if name not in out:
+                raise RuntimeError(
+                    f"Kernel did not produce declared result {name!r}")
+            type_code, choice_num = self._parse_type_spec(spec)
+            r = Result(name, type_code, choice_num=choice_num)
+            value = out[name]
+            if isinstance(value, tuple):
+                r.update_batch(value[0][accept], value[1][accept])
+            else:
+                r.update_batch(np.asarray(value)[accept])
+            chunk_results.add_result(r)
+        chunk_results.add_result(
+            Result.create("elapsed_time", Result.SUMTYPE, elapsed))
+        chunk_results.add_result(
+            Result.create("num_skipped_reps", Result.SUMTYPE, n_skip))
+        current_results.merge_all_results(chunk_results)
+        return n_accept, consumed, n_skip
+
+    def _bulk_loop(self, bulk, current_params, current_results,
+                   current_rep, pbar) -> int:
+        """Chunk loop for self-batched kernels (``_gen_bulk_kernel``):
+        identical accept/skip/checkpoint semantics to ``_batch_loop``,
+        but the kernel owns its rep axis — the runner only hands it an
+        absolute attempt cursor and the (fixed) chunk size."""
+        import jax
+
+        if not self.batch_result_types:
+            raise RuntimeError(
+                "The TPU batch path requires self.batch_result_types to "
+                "declare the Result type of every kernel output")
+
+        bsize = self._default_batch_size()
+
+        skipped_before = 0
+        if "num_skipped_reps" in current_results and \
+                current_results["num_skipped_reps"]:
+            prior = current_results["num_skipped_reps"][-1]
+            if prior.num_updates > 0:
+                skipped_before = int(prior.get_result())
+        cursor = current_rep + skipped_before
+
+        active = np.ones(bsize, dtype=bool)
+        while current_rep < self.rep_max and \
+                self._stop_criterion_ok(current_results) and \
+                self._keep_going(current_params, current_results,
+                                 current_rep):
+            tic = time.time()
+            needed = self.rep_max - current_rep
+            out = bulk(cursor, bsize)
+            out = jax.tree_util.tree_map(np.asarray, out)
+            elapsed = time.time() - tic
+            n_accept, consumed, n_skip = self._consume_chunk(
+                out, active, bsize, needed, elapsed, current_results)
+            current_rep += n_accept
+            cursor += consumed
+            pbar.progress(current_rep)
+            self._save_partial_results_maybe(current_rep, current_params,
+                                             current_results)
+            if n_accept == 0 and n_skip == 0:
                 break
         self._merge_skip_count(current_results, 0)
         return current_rep

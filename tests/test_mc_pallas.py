@@ -202,3 +202,84 @@ class TestTpuMode:
         out = np.asarray(fn(jnp.int32(1), jnp.float32(10 ** 1.5)))
         bits = 2 * 2 * mc._tile * mc._used * mc._bits_per_symbol
         assert 0.02 < out.sum() / bits < 0.06
+
+
+class TestRunnerIntegration:
+    """The bulk-kernel runner path (SimulationRunner._gen_bulk_kernel)
+    driving the MC kernel in inject mode — the CPU-testable version of
+    apps/ofdm/ofdm_mc_kernel.py's TPU flow."""
+
+    class McRunner(__import__("pyphysim_tpu.simulations",
+                              fromlist=["SimulationRunner"]
+                              ).SimulationRunner):
+        def __init__(self, batch_size=4):
+            super().__init__(read_command_line_args=False)
+            from pyphysim_tpu.channels.fading import (TdlChannel,
+                                                      TdlChannelProfile)
+            from pyphysim_tpu.simulations import Result
+
+            self.params.add("SNR", np.array([5.0, 15.0]))
+            self.params.set_unpack_parameter("SNR")
+            self.rep_max = 6
+            self.batch_size = batch_size
+            self.update_progress_function_style = None
+            self.batch_result_types = {"bit_errors": Result.SUMTYPE,
+                                       "ber": Result.RATIOTYPE}
+            self.num_tiles = 2
+            profile = TdlChannelProfile(np.array([0.0, -3.0]),
+                                        np.array([0.0, 100e-9]), "tiny")
+            ofdm = OFDM(64, 8, 32)
+            jakes = JakesSampleGenerator(Fd=30.0, Ts=TS, L=4)
+            channel = TdlChannel(jakes, profile)
+            self.mc = MonteCarloOfdmTdl(ofdm, channel, M=16, tile=16)
+            self._fns = {}
+
+        def _gen_bulk_kernel(self, current_parameters):
+            from pyphysim_tpu.utils.conversion import dB2Linear
+            mc, nt = self.mc, self.num_tiles
+            snr = dB2Linear(float(current_parameters["SNR"]))
+            amp = np.float32(np.sqrt(0.5 / snr) * mc.noise_gain)
+            base = jax.random.fold_in(
+                jax.random.PRNGKey(self.base_seed),
+                max(current_parameters.unpack_index, 0))
+            bits_per_rep = nt * mc._tile * mc._used * 4
+
+            def draw(key, salt, shape):
+                return jax.random.bits(jax.random.fold_in(key, salt),
+                                       shape, jnp.uint32)
+
+            def bulk(start, n):
+                if n not in self._fns:
+                    self._fns[n] = mc.build_inject(n, nt)
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(base, i))(
+                        jnp.arange(start, start + n))
+                shape = (nt * mc._tile, mc._used_p)
+                pb = jax.vmap(lambda k: draw(k, 0, (8, mc._TLp)))(keys)
+                db = jax.vmap(lambda k: draw(k, 1, shape))(keys)
+                n1 = jax.vmap(lambda k: draw(k, 2, shape))(keys)
+                n2 = jax.vmap(lambda k: draw(k, 3, shape))(keys)
+                counts = np.asarray(
+                    self._fns[n](pb, db, n1, n2, amp)).sum(axis=1)
+                return {"bit_errors": counts,
+                        "ber": (counts.astype(float),
+                                np.full(n, float(bits_per_rep)))}
+
+            return bulk
+
+    def test_runner_drives_kernel(self):
+        r = self.McRunner()
+        r.simulate()
+        assert r.runned_reps == [6, 6]
+        ber5, ber15 = r.results.get_result_values_list("ber")
+        assert 0.0 < ber15 < ber5 < 0.5
+
+    def test_chunk_size_invariant(self):
+        a = self.McRunner(batch_size=2)
+        b = self.McRunner(batch_size=6)
+        a.simulate()
+        b.simulate()
+        assert np.allclose(a.results.get_result_values_list("ber"),
+                           b.results.get_result_values_list("ber"))
+        assert a.results["bit_errors"][0].get_result() == \
+            b.results["bit_errors"][0].get_result()

@@ -903,3 +903,113 @@ class TestSkipStopMeshCombination:
             pytest.approx(b.results["payload"][0]._value)
         assert a.results.get_result_values_list("num_skipped_reps") == \
             b.results.get_result_values_list("num_skipped_reps")
+
+
+class _DummyBulkRunner(SimulationRunner):
+    """Bulk-kernel-path runner (``_gen_bulk_kernel``): the kernel owns
+    its rep axis and is handed an absolute attempt cursor. The
+    ``attempt_sum`` SUMTYPE result records WHICH attempts were accepted,
+    so the tests can assert the accepted set is exactly "the first
+    rep_max valid attempts" under any chunking."""
+
+    def __init__(self, skip_every=None, batch_size=None):
+        super().__init__(read_command_line_args=False)
+        self.params.add("SNR", np.array([0.0, 5.0, 10.0]))
+        self.params.add("bias", 1.3)
+        self.params.set_unpack_parameter("SNR")
+        self.rep_max = 10
+        self.update_progress_function_style = None
+        self.batch_size = batch_size
+        self.batch_result_types = {"lala": Result.RATIOTYPE,
+                                   "attempt_sum": Result.SUMTYPE}
+        self._skip_every = skip_every
+        self.bulk_calls = []
+
+    def _gen_bulk_kernel(self, current_parameters):
+        snr = float(current_parameters["SNR"])
+        bias = float(current_parameters["bias"])
+        skip_every = self._skip_every
+        calls = self.bulk_calls
+
+        def bulk(start, n):
+            calls.append((start, n))
+            j = np.arange(start, start + n)
+            out = {
+                "lala": (np.full(n, 1.2 * snr + bias), np.ones(n)),
+                "attempt_sum": j.astype(float),
+            }
+            if skip_every:
+                out["__valid__"] = (j % skip_every) != 0
+            return out
+
+        return bulk
+
+
+class TestBulkKernelPath:
+    def test_matches_serial_values(self):
+        a, b = _DummyRunner(), _DummyBulkRunner()
+        a.simulate()
+        b.simulate()
+        assert b.runned_reps == [10, 10, 10]
+        assert np.allclose(a.results.get_result_values_list("lala"),
+                           b.results.get_result_values_list("lala"))
+        # accepted attempts are exactly 0..9
+        assert b.results.get_result_values_list("attempt_sum") == \
+            [45.0, 45.0, 45.0]
+
+    def test_skip_and_retry_accounting(self):
+        r = _DummyBulkRunner(skip_every=3)
+        r.simulate()
+        assert r.runned_reps == [10, 10, 10]
+        # first 10 attempts with j % 3 != 0: j = 1,2,4,5,7,8,10,11,13,14
+        assert r.results.get_result_values_list("attempt_sum") == \
+            [75.0, 75.0, 75.0]
+        # consumed 15 attempts for 10 accepted -> 5 skipped
+        assert r.results.get_result_values_list("num_skipped_reps") == \
+            [5, 5, 5]
+
+    def test_chunk_size_invariant(self):
+        a = _DummyBulkRunner(skip_every=3, batch_size=4)
+        b = _DummyBulkRunner(skip_every=3, batch_size=32)
+        a.simulate()
+        b.simulate()
+        assert a.results.get_result_values_list("attempt_sum") == \
+            b.results.get_result_values_list("attempt_sum")
+        assert a.results.get_result_values_list("num_skipped_reps") == \
+            b.results.get_result_values_list("num_skipped_reps")
+        # the small batch really did chunk (multiple calls per variation)
+        assert len(a.bulk_calls) > len(b.bulk_calls)
+        # every chunk asks for the full batch size (bulk kernels
+        # recompile per distinct n, so no smaller tail chunks)
+        assert all(n == 4 for _, n in a.bulk_calls)
+
+    def test_resume_preserves_attempt_cursor(self, tmp_path):
+        r = _DummyBulkRunner(skip_every=3)
+        r.set_results_filename(str(tmp_path / "res"))
+        r.partial_results_folder = str(tmp_path / "partial")
+        r.simulate()
+        assert r.results.get_result_values_list("attempt_sum") == \
+            [75.0, 75.0, 75.0]
+        # resume with a higher rep_max: continues from attempt 15, the
+        # accepted set stays "the first 20 valid attempts"
+        r2 = _DummyBulkRunner(skip_every=3)
+        r2.set_results_filename(str(tmp_path / "res"))
+        r2.partial_results_folder = str(tmp_path / "partial")
+        r2.rep_max = 20
+        r2.simulate()
+        assert r2.runned_reps == [20, 20, 20]
+        valid = [j for j in range(100) if j % 3 != 0][:20]
+        assert r2.results.get_result_values_list("attempt_sum") == \
+            [float(sum(valid))] * 3
+        # starts were absolute (second run resumed at cursor 15)
+        assert r2.bulk_calls[0][0] == 15
+
+    def test_takes_precedence_over_batch_kernel(self):
+        class Both(_DummyBulkRunner):
+            def _gen_simulation_kernel(self, current_parameters):
+                raise AssertionError(
+                    "bulk kernel must take precedence")
+
+        r = Both()
+        r.simulate()
+        assert r.runned_reps == [10, 10, 10]
