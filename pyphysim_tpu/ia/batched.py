@@ -33,9 +33,9 @@ from ..ops.cplx import CArray
 
 __all__ = ["max_sinr_solve", "min_leakage_solve", "mmse_solve",
            "alt_min_solve", "alt_min_cost", "closed_form_solve",
-           "brute_force_stream_solve", "stream_combinations",
-           "svd_init_precoders", "calc_sinrs", "sum_capacity",
-           "calc_leakage", "random_unit_precoders"]
+           "brute_force_stream_solve", "greedy_stream_solve",
+           "stream_combinations", "svd_init_precoders", "calc_sinrs",
+           "sum_capacity", "calc_leakage", "random_unit_precoders"]
 
 
 def _normalize_fro(f: CArray) -> CArray:
@@ -648,3 +648,174 @@ def stream_combinations(max_Ns, K: int) -> Tuple[Tuple[int, ...], ...]:
 def sum_capacity(sinrs: jnp.ndarray) -> jnp.ndarray:
     """``sum log2(1 + sinr)`` over streams and users."""
     return jnp.sum(jnp.log2(1.0 + sinrs), axis=(-2, -1))
+
+
+# ---------------------------------------------------------------------------
+# Greedy stream search (device)
+# ---------------------------------------------------------------------------
+
+def _bkl_first_part(H: CArray, F: CArray, k: int, noise_var,
+                    P_vec) -> CArray:
+    """``noise_var I + sum_j P_j H_kj F_j F_j^H H_kj^H`` — the
+    stream-independent part of Cadambe eq. 28. Zero (deleted) precoder
+    columns contribute nothing, so this is mask-agnostic."""
+    Nr = H.shape[2]
+    eye = cplx.eye(Nr)
+    first = CArray(noise_var * eye.re, eye.im * 0.0)
+    for j in range(H.shape[0]):
+        hf = cplx.matmul(H[k, j], F[j])
+        gram = cplx.matmul(hf, hf.mH)
+        first = first + CArray(gram.re * P_vec[j], gram.im * P_vec[j])
+    return first
+
+
+def _masked_update_filters(H: CArray, F: CArray, noise_var,
+                           P_vec) -> CArray:
+    """Column-count-agnostic :func:`_update_filters`: iterates ALL
+    ``ns_max`` columns; a deleted stream is carried purely as a zero
+    precoder column, which propagates to a zero filter column through
+    the guarded normalization (``H F_col = 0 -> B^-1 0 = 0``). This is
+    what lets the greedy search's DATA-DEPENDENT stream deletions stay
+    shape-static. ``P_vec`` entries may be traced (the greedy reverse
+    network divides by the surviving stream counts)."""
+    K = H.shape[0]
+    ns_max = F.shape[-1]
+    us = []
+    for k in range(K):
+        first = _bkl_first_part(H, F, k, noise_var, P_vec)
+        hkk_f = cplx.matmul(H[k, k], F[k])
+        cols = []
+        for l in range(ns_max):
+            v = hkk_f[..., :, l:l + 1]
+            second = cplx.matmul(v, v.mH)
+            bkl = first - CArray(second.re * P_vec[k],
+                                 second.im * P_vec[k])
+            ukl = cplx.solve(bkl, v)
+            nrm = jnp.sqrt(jnp.sum(ukl.abs2(), axis=(-2, -1),
+                                   keepdims=True))
+            safe = jnp.maximum(nrm, jnp.asarray(1e-30, nrm.dtype))
+            dead = nrm <= 0
+            cols.append(CArray(jnp.where(dead, 0.0, ukl.re / safe),
+                               jnp.where(dead, 0.0, ukl.im / safe)))
+        us.append(_normalize_fro(cplx.concatenate(cols, axis=-1)))
+    return cplx.stack(us, axis=0)
+
+
+def _masked_sinrs(H: CArray, F: CArray, U: CArray, noise_var,
+                  P: float = 1.0) -> jnp.ndarray:
+    """Per-stream SINRs over ALL ``ns_max`` columns, 0 for deleted
+    (zero-column) streams — the guard-divided form of
+    :func:`calc_sinrs` the greedy search needs when the active set is
+    data-dependent."""
+    K = H.shape[0]
+    ns_max = F.shape[-1]
+    p_vec = jnp.full((K,), P)
+    rows = []
+    for k in range(K):
+        first = _bkl_first_part(H, F, k, noise_var, p_vec)
+        hkk_f = cplx.matmul(H[k, k], F[k])
+        vals = []
+        for l in range(ns_max):
+            v = hkk_f[..., :, l:l + 1]
+            second = cplx.matmul(v, v.mH)
+            bkl = first - CArray(second.re * P, second.im * P)
+            ukl = U[k][..., :, l:l + 1]
+            aux = cplx.matmul(ukl.mH, v)
+            num = P * aux.abs2()[..., 0, 0]
+            den = cplx.matmul(ukl.mH, cplx.matmul(bkl, ukl))
+            den = jnp.maximum(jnp.abs(den.re[..., 0, 0]), 1e-30)
+            active = jnp.sum(F[k][..., :, l].abs2(), axis=-1) > 0
+            vals.append(jnp.where(active, num / den, 0.0))
+        rows.append(jnp.stack(vals, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def greedy_stream_solve(H: CArray, key: jax.Array, Ns=2,
+                        P: float = 1.0, noise_var: float = 0.1,
+                        iterations: int = 20, init: str = "svd"):
+    """Greedy worst-stream deletion, entirely on device.
+
+    Behavioral counterpart of the reference's GreedStreamIASolver
+    (algorithms.py:1853-2051): solve at the full stream allocation,
+    then repeatedly delete the globally worst-SINR stream and re-solve
+    with the 'fix' initialization (the surviving precoders, deleted
+    column zeroed) while the sum capacity strictly improves; stop when
+    it stops improving, when the worst stream is its user's last, or
+    when only K streams remain. The deletion loop is a STATIC unroll of
+    ``sum(Ns) - K`` steps whose state advances through ``where``
+    selects gated by a keep-going flag, so the data-dependent search
+    jits and vmaps over channel batches — the reference runs one numpy
+    re-solve per deletion.
+
+    Returns ``(F, U, mask, capacities)``: the best precoders/filters
+    found, the (K, ns_max) 0/1 mask of surviving streams, and the
+    capacity trajectory (base solve + one entry per unrolled step;
+    frozen steps repeat the previous value — the reference's
+    ``every_sum_capacity`` analog).
+    """
+    K = H.shape[0]
+    ns = _as_ns(Ns, K)
+    ns_max = max(ns)
+    dt = H.re.dtype
+
+    F, U = max_sinr_solve(H, key, ns, P=P, noise_var=noise_var,
+                          iterations=iterations, init=init)
+    mask = jnp.broadcast_to(
+        jnp.asarray([[1.0] * n + [0.0] * (ns_max - n) for n in ns], dt),
+        F.re.shape[:-3] + (K, ns_max))
+    cap = sum_capacity(_masked_sinrs(H, F, U, noise_var, P))
+    caps = [cap]
+    bF, bU, bmask, bcap = F, U, mask, cap
+    keep = jnp.ones(cap.shape, bool)
+    p_fwd = jnp.full((K,), P)
+
+    Hrev = cplx.stack([
+        cplx.stack([H[l, k].mH for l in range(K)], axis=0)
+        for k in range(K)], axis=0)
+
+    def _sel(cond, a, b):
+        c = cond[..., None, None, None] if a.re.ndim == cond.ndim + 3 \
+            else cond
+        return CArray(jnp.where(c, a.re, b.re), jnp.where(c, a.im, b.im))
+
+    for _ in range(sum(ns) - K):
+        sinr = _masked_sinrs(H, F, U, noise_var, P)
+        flat = jnp.where(mask > 0, sinr, jnp.inf).reshape(
+            sinr.shape[:-2] + (K * ns_max,))
+        idx = jnp.argmin(flat, axis=-1)
+        k_star = idx // ns_max
+        counts = jnp.sum(mask, axis=-1)                     # (..., K)
+        user_oh = jax.nn.one_hot(k_star, K, dtype=dt)
+        star_count = jnp.sum(user_oh * counts, axis=-1)
+        can = (star_count > 1) & (jnp.sum(counts, axis=-1) > K)
+        del_oh = jax.nn.one_hot(idx, K * ns_max, dtype=dt).reshape(
+            mask.shape)
+        new_mask = mask * (1.0 - del_oh)
+        m = new_mask[..., :, None, :]
+        F0 = CArray(F.re * m, F.im * m)                     # 'fix' init
+        new_counts = jnp.sum(new_mask, axis=-1)
+        p_rev = p_fwd / jnp.maximum(new_counts, 1.0)
+
+        def body(carry, _):
+            Uc = _masked_update_filters(H, carry, noise_var, p_fwd)
+            Fn = _masked_update_filters(Hrev, Uc, noise_var, p_rev)
+            return Fn, 0
+
+        F2, _ = jax.lax.scan(body, F0, jnp.arange(iterations))
+        U2 = _masked_update_filters(H, F2, noise_var, p_fwd)
+        cap2 = sum_capacity(_masked_sinrs(H, F2, U2, noise_var, P))
+
+        go = keep & can
+        improved = cap2 > cap
+        accept = go & improved
+        bF = _sel(accept, F2, bF)
+        bU = _sel(accept, U2, bU)
+        bmask = jnp.where(accept[..., None, None], new_mask, bmask)
+        bcap = jnp.where(accept, cap2, bcap)
+        F = _sel(go, F2, F)
+        U = _sel(go, U2, U)
+        mask = jnp.where(go[..., None, None], new_mask, mask)
+        cap = jnp.where(go, cap2, cap)
+        caps.append(cap)
+        keep = accept
+    return bF, bU, bmask, jnp.stack(caps, axis=-1)
