@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Stream-selection statistics via the DEVICE brute-force search.
+"""Stream-selection statistics via the DEVICE brute-force + greedy search.
 
 Counterpart of the reference's greedy/brute stream-selection statistics
 pipeline (apps/ia/simulate_greedy_ia.py + greedy_statistics.py): for each
@@ -7,7 +7,11 @@ SNR, Monte Carlo channels are solved with
 :func:`pyphysim_tpu.ia.batched.brute_force_stream_solve` — every per-user
 stream-count combination, deterministic svd init, winner by sum capacity
 — and the chosen combination feeds a CHOICETYPE histogram Result, all
-through the runner's batch path (one jitted program per SNR).
+through the runner's batch path (one jitted program per SNR). The same
+channels also run :func:`~pyphysim_tpu.ia.batched.greedy_stream_solve`
+(worst-stream deletion, the reference GreedStreamIASolver's device
+counterpart), reporting how much of the exhaustive search's capacity the
+greedy search keeps and how often it lands within 1% of it.
 
 Run:  python apps/ia/batched_stream_selection.py [--reps 64] [--iters 12]
 """
@@ -22,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pyphysim_tpu.ia.batched import (brute_force_stream_solve,
+                                     greedy_stream_solve,
                                      stream_combinations)
 from pyphysim_tpu.simulations import Result, SimulationRunner
 from pyphysim_tpu.utils.conversion import dB2Linear
@@ -43,6 +48,8 @@ class StreamSelectionRunner(SimulationRunner):
         self.batch_result_types = {
             "stream_choice": (Result.CHOICETYPE, len(self.combos)),
             "sum_capacity": Result.RATIOTYPE,
+            "greedy_capacity_ratio": Result.RATIOTYPE,
+            "greedy_within_1pct": Result.RATIOTYPE,
         }
 
     def _gen_simulation_kernel(self, p):
@@ -55,9 +62,17 @@ class StreamSelectionRunner(SimulationRunner):
             _, _, best, caps = brute_force_stream_solve(
                 H, key, max_Ns=max_Ns, noise_var=noise_var,
                 iterations=iters)
+            brute_cap = jnp.max(caps, axis=-1)
+            _, _, _, gcaps = greedy_stream_solve(
+                H, key, Ns=max_Ns, noise_var=noise_var,
+                iterations=iters)
+            greedy_cap = gcaps[..., -1]
             return {"stream_choice": best,
-                    "sum_capacity": (jnp.max(caps, axis=-1),
-                                     jnp.asarray(1.0))}
+                    "sum_capacity": (brute_cap, jnp.asarray(1.0)),
+                    "greedy_capacity_ratio": (greedy_cap, brute_cap),
+                    "greedy_within_1pct": (
+                        (greedy_cap >= 0.99 * brute_cap).astype(
+                            jnp.float32), jnp.asarray(1.0))}
 
         return kernel
 
@@ -76,9 +91,13 @@ def main():
     for i, snr in enumerate(np.atleast_1d(snrs)):
         hist = runner.results["stream_choice"][i].get_result()
         cap = runner.results["sum_capacity"][i].get_result()
+        gratio = runner.results["greedy_capacity_ratio"][i].get_result()
+        gwin = runner.results["greedy_within_1pct"][i].get_result()
         pct = ", ".join(f"{c}:{100 * h:.0f}%"
                         for c, h in zip(runner.combos, hist) if h > 0)
-        print(f"SNR {snr:5.1f} dB: mean best capacity {cap:6.3f}  [{pct}]")
+        print(f"SNR {snr:5.1f} dB: mean best capacity {cap:6.3f}  "
+              f"greedy/brute {100 * gratio:.1f}% "
+              f"(within 1%: {100 * gwin:.0f}%)  [{pct}]")
 
 
 if __name__ == "__main__":

@@ -239,3 +239,9 @@ class TestBatchedStreamSelection:
         # capacity grows with SNR
         caps = r.results.get_result_values_list("sum_capacity")
         assert caps[0] < caps[1] < caps[2]
+        # the greedy search keeps most of the exhaustive capacity; it can
+        # even EXCEED it slightly, because its 'fix'-initialized re-solves
+        # are warm-started and converge further within the fixed
+        # iteration budget than brute force's cold svd starts
+        for g in r.results.get_result_values_list("greedy_capacity_ratio"):
+            assert 0.7 < float(g) < 1.15
