@@ -63,10 +63,18 @@ class StreamSelectionRunner(SimulationRunner):
                 H, key, max_Ns=max_Ns, noise_var=noise_var,
                 iterations=iters)
             brute_cap = jnp.max(caps, axis=-1)
+            # candidate_init='svd' = the same optimizer policy as the
+            # brute-force search, so greedy/brute <= 1 by construction
+            # (reference semantics, algorithms.py:1853-2234); the 'fix'
+            # warm-start policy is the reference GreedStreamIASolver's
+            # own default and can exceed brute under a fixed budget
             _, _, _, gcaps = greedy_stream_solve(
                 H, key, Ns=max_Ns, noise_var=noise_var,
-                iterations=iters)
-            greedy_cap = gcaps[..., -1]
+                iterations=iters, candidate_init="svd")
+            # the achieved best: the trajectory's LAST entry is the
+            # rejected value when the search ends on a non-improving
+            # deletion (greedy_stream_solve docstring)
+            greedy_cap = jnp.max(gcaps, axis=-1)
             return {"stream_choice": best,
                     "sum_capacity": (brute_cap, jnp.asarray(1.0)),
                     "greedy_capacity_ratio": (greedy_cap, brute_cap),

@@ -70,6 +70,11 @@ class OfdmMcKernelSimulationRunner(SimulationRunner):
         snr = dB2Linear(float(current_parameters["SNR"]))
         bits_per_rep = self._bits_per_rep()
         unpack_idx = max(current_parameters.unpack_index, 0)
+        # When the runner sweeps under simulate_in_parallel, the chunk's
+        # rep axis is split across the mesh with per-device absolute
+        # start offsets inside the kernel (mc_pallas build(mesh=...));
+        # the stream contract keeps results bit-identical to unsharded.
+        mesh = self.mesh
 
         if self._tpu:
             # in-kernel hardware PRNG; streams keyed by
@@ -77,13 +82,16 @@ class OfdmMcKernelSimulationRunner(SimulationRunner):
             seed = (self.base_seed * 1000003 + unpack_idx) & 0x7FFFFFFF
 
             def bulk(start, n):
-                if n not in self._fns:
-                    self._fns[n] = self.mc.build(n, nt)
-                counts = np.asarray(
-                    self._fns[n](jnp.int32(seed), jnp.float32(snr),
-                                 jnp.int32(start)), np.int64).sum(axis=1)
+                fkey = (n, mesh)
+                if fkey not in self._fns:
+                    self._fns[fkey] = self.mc.build(n, nt, mesh=mesh)
+                # lazy device arrays: the runner fetches them AFTER
+                # enqueueing the next chunk (double-buffered dispatch)
+                counts = jnp.sum(
+                    self._fns[fkey](jnp.int32(seed), jnp.float32(snr),
+                                    jnp.int32(start)), axis=1)
                 return {"bit_errors": counts,
-                        "ber": (counts.astype(float),
+                        "ber": (counts.astype(jnp.float32),
                                 np.full(n, float(bits_per_rep)))}
 
             return bulk
@@ -99,8 +107,9 @@ class OfdmMcKernelSimulationRunner(SimulationRunner):
                                    jnp.uint32)
 
         def bulk(start, n):
-            if n not in self._fns:
-                self._fns[n] = mc.build_inject(n, nt)
+            fkey = (n, mesh)
+            if fkey not in self._fns:
+                self._fns[fkey] = mc.build_inject(n, nt, mesh=mesh)
             keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
                 jnp.arange(start, start + n))
             shape = (nt * mc._tile, mc._used_p)
@@ -108,7 +117,7 @@ class OfdmMcKernelSimulationRunner(SimulationRunner):
             db = jax.vmap(lambda k: draw(k, 1, shape))(keys)
             n1 = jax.vmap(lambda k: draw(k, 2, shape))(keys)
             n2 = jax.vmap(lambda k: draw(k, 3, shape))(keys)
-            counts = np.asarray(self._fns[n](pb, db, n1, n2, amp),
+            counts = np.asarray(self._fns[fkey](pb, db, n1, n2, amp),
                                 np.int64).sum(axis=1)
             return {"bit_errors": counts,
                     "ber": (counts.astype(float),

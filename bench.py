@@ -134,6 +134,30 @@ def _bench_pallas_kernel(results, log):
     log("pallas: compiling + warmup")
     run_many(11, 10 ** 1.5)
     log("pallas: warm")
+
+    # Sharded-mode hardware proof: the same kernel math under shard_map
+    # over a (single-chip) mesh must be BIT-identical to the unsharded
+    # call — the absolute-index stream contract that makes the
+    # multi-chip split exact (tests pin 1-vs-8 on the virtual CPU mesh;
+    # this pins the hardware-PRNG mode on a real chip). Runs on a SMALL
+    # kernel instance (tile 256) so the two extra Mosaic compiles stay
+    # ~1 min, not the big kernel's several. A backend inability to run
+    # shard_map is recorded; a VALUE mismatch is a hard failure.
+    try:
+        from pyphysim_tpu.parallel import make_mesh
+        mc_s = MonteCarloOfdmTdl(ofdm, channel, M=16, tile=256)
+        s_one = mc_s.build(8, 2)
+        s_mesh = mc_s.build(8, 2, mesh=make_mesh(1))
+        a = np.asarray(s_one(jnp.int32(23), jnp.float32(10 ** 1.5)))
+        b = np.asarray(s_mesh(jnp.int32(23), jnp.float32(10 ** 1.5)))
+        assert np.array_equal(a, b), "sharded kernel diverged"
+        results["sharded_1dev_identical"] = True
+        log("pallas: sharded(1-dev mesh) == unsharded, bit-identical")
+    except AssertionError:
+        raise
+    except Exception as exc:  # pragma: no cover - backend-dependent
+        results["sharded_1dev_identical"] = False
+        log(f"pallas: sharded-mode check unavailable ({exc!r})")
     for snr_db, (lo, hi) in BER_CORNERS.items():
         ber = run_many(13, 10 ** (snr_db / 10.0)) / bits
         log(f"pallas: BER at {snr_db} dB = {ber:.5f}")
@@ -146,6 +170,138 @@ def _bench_pallas_kernel(results, log):
     assert lo < total_errors / bits < hi
     results["value"] = bits / 4 / dt
     log(f"pallas: {results['value']:.3e} sym/s")
+
+
+# Secondary-family plausibility brackets (empirical, wide enough for MC
+# noise at these sample sizes, tight enough to catch an elided chain or
+# a precision regression):
+ALAMOUTI_BER_10DB = (0.008, 0.030)   # QPSK Alamouti 2x1, measured ~0.017
+IA_CAP_RANGE = (6.0, 16.0)   # mean sum cap, K=3 2x2 Ns=1, noise 0.1
+BD_CAP_RANGE = (5.0, 16.0)   # mean sum cap, K=3 Nr=2 Nt=6, Pu=10/3
+
+
+def _make_runner_f(step, batch: int, iters: int):
+    """Float-accumulating variant of :func:`_make_runner` (capacity
+    sums instead of error counts)."""
+
+    @jax.jit
+    def _run(base_key, arg):
+        args = jnp.full((batch,), arg)
+
+        def body(carry, i):
+            keys = jax.random.split(jax.random.fold_in(base_key, i), batch)
+            return carry, jnp.sum(jax.vmap(step)(keys, args))
+
+        _, per_step = jax.lax.scan(body, 0.0, jnp.arange(iters))
+        return per_step
+
+    def run_many(base_key, arg) -> float:
+        return float(np.asarray(_run(base_key, arg),
+                                dtype=np.float64).sum())
+
+    return run_many
+
+
+def _bench_families(results, log):
+    """Secondary Monte Carlo families on the chip (the reference's other
+    primary workloads, which it runs one numpy repetition at a time):
+
+    * Alamouti 2x1 QPSK flat-Rayleigh BER chain
+      (apps/mimo/simulate_mimo.py:69-141 semantics) -> symbols/s,
+    * batched Max-SINR IA sum-capacity sweep (apps/ia/simulate_ia.py,
+      10 solver iterations, svd init) -> IA solves/s,
+    * batched BD CoMP capacity (comp_BD family,
+      blockdiagonalization.py:181-663) -> BD solves/s.
+
+    Each is ONE jitted scan-of-vmapped-reps dispatch with a
+    result-dependent fetch (the relay measurement rules at the top of
+    this file) and a plausibility assert on its physics.
+    """
+    from pyphysim_tpu.comm import bd_precoders_batched
+    from pyphysim_tpu.ia.batched import (calc_sinrs, max_sinr_solve,
+                                         sum_capacity)
+    from pyphysim_tpu.mimo import Alamouti
+    from pyphysim_tpu.modulators import QPSK
+    from pyphysim_tpu.ops import cplx
+    from pyphysim_tpu.utils.misc import count_bit_errors, randn_c
+
+    # ---- (a) Alamouti 2x1 flat Rayleigh -----------------------------
+    mod = QPSK()
+    n = 512
+
+    def ala_step(key, snr_linear):
+        k1, k2, k3 = jax.random.split(key, 3)
+        data = jax.random.randint(k1, (n,), 0, 4)
+        tx = mod.modulate(data)
+        h = randn_c(k2, 1, 2)
+        obj = Alamouti(h)
+        rx = cplx.matmul(h, obj.encode(tx)) + \
+            randn_c(k3, 1, n) * jnp.sqrt(1.0 / snr_linear)
+        return count_bit_errors(data, mod.demodulate(obj.decode(rx)))
+
+    batch, iters = 512, 500
+    run = _make_runner(ala_step, batch, iters)
+    log("alamouti: compiling + warmup")
+    run(_make_key(4), 10.0)
+    bits = batch * n * 2 * iters
+    t0 = time.perf_counter()
+    errors = run(_make_key(5), 10.0)
+    dt = time.perf_counter() - t0
+    ber = errors / bits
+    lo, hi = ALAMOUTI_BER_10DB
+    assert lo < ber < hi, f"implausible Alamouti BER {ber} at 10 dB"
+    results["alamouti_sym_s"] = batch * n * iters / dt
+    results["alamouti_ber_10dB"] = ber
+    log(f"alamouti: {results['alamouti_sym_s']:.3e} sym/s "
+        f"(BER@10dB {ber:.4f})")
+
+    # ---- (b) Max-SINR IA sum capacity -------------------------------
+    def ia_step(key, _):
+        H = randn_c(key, 3, 3, 2, 2)
+        F, U = max_sinr_solve(H, key, Ns=1, noise_var=0.1,
+                              iterations=10, init="svd")
+        return sum_capacity(calc_sinrs(H, F, U, 0.1, 1.0))
+
+    batch, iters = 256, 200
+    run = _make_runner_f(ia_step, batch, iters)
+    log("ia: compiling + warmup")
+    run(_make_key(6), 0.0)
+    t0 = time.perf_counter()
+    total_cap = run(_make_key(7), 0.0)
+    dt = time.perf_counter() - t0
+    mean_cap = total_cap / (batch * iters)
+    lo, hi = IA_CAP_RANGE
+    assert lo < mean_cap < hi, f"implausible IA mean capacity {mean_cap}"
+    results["ia_maxsinr_solves_s"] = batch * iters / dt
+    log(f"ia: {results['ia_maxsinr_solves_s']:.3e} solves/s "
+        f"(mean cap {mean_cap:.2f})")
+
+    # ---- (c) BD CoMP capacity ---------------------------------------
+    def bd_step(key, _):
+        H = randn_c(key, 6, 6)
+        _, Ms, Sigma = bd_precoders_batched(H, 3, 10.0 / 3, 1.0,
+                                            "normalized")
+        p = jnp.sum(Ms.re ** 2 + Ms.im ** 2, axis=-2)
+        cap = jnp.sum(jnp.log2(1.0 + p * Sigma ** 2))
+        # rare degenerate draws (~1e-5 of a 1e5-draw run) zero out
+        # instead of NaN-poisoning the mean — the runner-path __valid__
+        # skip semantics, inlined
+        return jnp.where(jnp.isfinite(cap) & (jnp.min(Sigma) > 1e-6),
+                         cap, 0.0)
+
+    batch, iters = 512, 200
+    run = _make_runner_f(bd_step, batch, iters)
+    log("bd: compiling + warmup")
+    run(_make_key(8), 0.0)
+    t0 = time.perf_counter()
+    total_cap = run(_make_key(9), 0.0)
+    dt = time.perf_counter() - t0
+    mean_cap = total_cap / (batch * iters)
+    lo, hi = BD_CAP_RANGE
+    assert lo < mean_cap < hi, f"implausible BD mean capacity {mean_cap}"
+    results["bd_solves_s"] = batch * iters / dt
+    log(f"bd: {results['bd_solves_s']:.3e} solves/s "
+        f"(mean cap {mean_cap:.2f})")
 
 
 def bench_ofdm_tdl():
@@ -163,9 +319,18 @@ def bench_ofdm_tdl():
 
     try:
         _bench_pallas_kernel(results, log)
+    except AssertionError:
+        # a BER-plausibility failure is a CORRECTNESS regression in the
+        # Pallas kernel — never silently demote it to the XLA headline
+        raise
     except Exception as exc:  # pragma: no cover - hardware-dependent
         # keep the bench robust: fall back to the XLA fused path as the
-        # headline if the Pallas path cannot run on this backend
+        # headline if the Pallas path cannot run on this backend — and
+        # drop any partially recorded pallas values so the fused stage's
+        # setdefault records ITS numbers, not a half-run kernel's
+        for k in [k for k in results if k.startswith("ber_")]:
+            del results[k]
+        results.pop("value", None)
         log(f"pallas kernel stage failed ({exc!r}); "
             "falling back to XLA fused headline")
 
@@ -228,6 +393,14 @@ def bench_ofdm_tdl():
     assert lo < ber < hi, f"implausible time-domain BER {ber}"
     results["value_time_domain"] = batch * num_symbols * iters / dt
     log(f"time-domain: {results['value_time_domain']:.3e} sym/s")
+
+    # ---- secondary Monte Carlo families ------------------------------
+    try:
+        _bench_families(results, log)
+    except AssertionError:
+        raise  # physics regressions in a family are hard failures
+    except Exception as exc:  # pragma: no cover - backend-dependent
+        log(f"family stage failed ({exc!r}); headline metrics kept")
     return results
 
 
@@ -244,6 +417,10 @@ def main() -> None:
             r["value_time_domain"] / BASELINE_SYMBOLS_PER_SEC,
         "ber_corners": {k: v for k, v in r.items()
                         if k.startswith("ber_")},
+        "sharded_1dev_identical": r.get("sharded_1dev_identical"),
+        "families": {k: r[k] for k in
+                     ("alamouti_sym_s", "alamouti_ber_10dB",
+                      "ia_maxsinr_solves_s", "bd_solves_s") if k in r},
     }))
 
 

@@ -2,8 +2,10 @@
 diagonalization."""
 
 from . import batched, blockdiagonalization, waterfilling  # noqa: F401
-from .batched import (bd_precoders_batched,  # noqa: F401
-                      bd_receive_filter_batched)
+from .batched import (bd_blocks_no_power_batched,  # noqa: F401
+                      bd_precoders_batched, bd_receive_filter_batched,
+                      enhanced_bd_batched, whitening_bd_batched,
+                      whitening_matrix_batched)
 from .blockdiagonalization import (BDWithExtIntBase,  # noqa: F401
                                    BlockDiagonalizer, EnhancedBD,
                                    WhiteningBD,

@@ -29,15 +29,34 @@ constraints and capacities are (tests cross-check all four).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import cplx
 from ..ops.cplx import CArray
 from .waterfilling import doWF_jit
 
-__all__ = ["bd_precoders_batched", "bd_receive_filter_batched"]
+
+def _full_precision(fn):
+    """Run the wrapped linalg routine with full-f32 MXU passes: the
+    TPU's default bf16 matmul precision (~0.4% rel error) sporadically
+    NaNs the null-space SVD -> water-filling chain on near-degenerate
+    draws (same hazard as ops/cplx.ceig). These are tiny matrices —
+    full precision costs nothing."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+__all__ = ["bd_precoders_batched", "bd_receive_filter_batched",
+           "bd_blocks_no_power_batched", "whitening_matrix_batched",
+           "whitening_bd_batched", "enhanced_bd_batched"]
 
 
 def _user_rows(H: CArray, k: int, nr_u: int) -> CArray:
@@ -55,6 +74,7 @@ def _other_rows(H: CArray, k: int, nr_u: int) -> CArray:
     return cplx.concatenate(parts, axis=-2)
 
 
+@_full_precision
 def bd_precoders_batched(H: CArray, num_users: int, iPu: float,
                          noise_var: float = 0.0,
                          mode: str = "normalized"
@@ -144,7 +164,312 @@ def bd_precoders_batched(H: CArray, num_users: int, iPu: float,
     return newH, Ms, Sigma
 
 
+@_full_precision
 def bd_receive_filter_batched(newH: CArray) -> CArray:
     """ZF receive filter: pseudo-inverse of the block-diagonalized
     channel (blockdiagonalization.py:567-584), batched."""
     return cplx.pinv(newH)
+
+
+# ---------------------------------------------------------------------------
+# External-interference BD family (whitening / stream sacrifice), batched
+# ---------------------------------------------------------------------------
+#
+# Device counterparts of the host WhiteningBD / EnhancedBD classes
+# (reference blockdiagonalization.py:666-1469): the whole per-realization
+# precoder computation — null-space SVDs, whitening, stream-reduction
+# candidates, receive filters, SINRs and the sacrifice metric — is one
+# jit/vmap-able program, so a Monte Carlo sweep runs thousands of
+# realizations per dispatch instead of one numpy solve per repetition.
+# Shapes are static (symmetric square per-user blocks, the scenario of
+# apps/comp_BD); degenerate draws surface through the returned validity
+# mask (the runner's ``__valid__`` skip-and-retry contract).
+
+def _flip_cols(x: CArray) -> CArray:
+    return CArray(jnp.flip(x.re, axis=-1), jnp.flip(x.im, axis=-1))
+
+
+def _fro(x: CArray, keepdims: bool = False) -> jnp.ndarray:
+    return jnp.sqrt(jnp.sum(x.re ** 2 + x.im ** 2, axis=(-2, -1),
+                            keepdims=keepdims))
+
+
+def _czeros(shape, dtype) -> CArray:
+    return CArray(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _canonicalize_phases(x: CArray) -> CArray:
+    """Rotate each COLUMN so its largest-magnitude entry is real
+    positive. SVD/eig bases carry an arbitrary per-column phase (LAPACK
+    picks one convention, the device QR another); the EnhancedBD stream
+    reduction mixes ``Ms_k`` columns through a basis computed from the
+    ext-int covariance, so the phases are physically meaningful there —
+    canonicalizing makes the construction deterministic across backends
+    and lets the device and host solvers agree per-realization. One-hot
+    contraction instead of a gather (TPU-friendly)."""
+    mag2 = x.abs2()                                    # (..., m, n)
+    oh = jax.nn.one_hot(jnp.argmax(mag2, axis=-2), x.shape[-2],
+                        dtype=x.re.dtype, axis=-2)
+    pr = jnp.sum(x.re * oh, axis=-2, keepdims=True)    # pivot entry
+    pi = jnp.sum(x.im * oh, axis=-2, keepdims=True)
+    mag = jnp.sqrt(jnp.maximum(pr ** 2 + pi ** 2, 1e-30))
+    cr, ci = pr / mag, -pi / mag                       # e^{-j angle}
+    return CArray(x.re * cr - x.im * ci, x.re * ci + x.im * cr)
+
+
+def _cdiag(x: CArray) -> CArray:
+    return CArray(jnp.diagonal(x.re, axis1=-2, axis2=-1),
+                  jnp.diagonal(x.im, axis1=-2, axis2=-1))
+
+
+@_full_precision
+def bd_blocks_no_power_batched(H: CArray, num_users: int):
+    """Per-user null-space precoder blocks WITHOUT power scaling, columns
+    in the reference's ASCENDING effective-singular-value order
+    (``_calc_BD_matrix_no_power_scaling``,
+    blockdiagonalization.py:272-363, via the
+    ``least_right_singular_vectors`` ascending convention,
+    misc.py:595-663). Returns ``(blocks, sigmas)``: per user a
+    (..., Nt_total, nS) block and its (..., nS) ascending singular
+    values. Generic full-rank case (``nS = Nt_total - (K-1) Nr_u``)."""
+    K = int(num_users)
+    nr_tot, nt_tot = H.shape[-2], H.shape[-1]
+    if nr_tot % K:
+        raise ValueError("channel rows must divide by the user count")
+    nr_u = nr_tot // K
+    nS = nt_tot - (K - 1) * nr_u
+    if nS <= 0:
+        raise ValueError("no null-space dimensions left")
+    blocks, sigmas = [], []
+    for k in range(K):
+        tilde_H = _other_rows(H, k, nr_u)
+        _, _, vh = cplx.svd(tilde_H, full_matrices=True)
+        tilde_V0 = vh.mH[..., :, nt_tot - nS:]       # null-space basis
+        A = cplx.matmul(_user_rows(H, k, nr_u), tilde_V0)
+        _, s1, v1h = cplx.svd(A)                      # descending
+        blk = cplx.matmul(tilde_V0, _flip_cols(v1h.mH))
+        blocks.append(_canonicalize_phases(blk))
+        sigmas.append(jnp.flip(s1, axis=-1))
+    return blocks, sigmas
+
+
+@_full_precision
+def whitening_matrix_batched(R: CArray) -> CArray:
+    """Device ``calc_whitening_matrix`` (utils/misc.py:451-465, reference
+    misc.py:1139-1201): ``W = V diag(w^-1/2)`` from the eigendecomposition
+    of the covariance, eigenvalues floored for singular covariances."""
+    w, v = cplx.eigh(R)                                # ascending
+    floor = jnp.maximum(w[..., -1:] * 1e-12, 1e-37)
+    scale = jnp.maximum(w, floor)[..., None, :] ** -0.5
+    return CArray(v.re * scale, v.im * scale)
+
+
+def _block_diag_c(blocks) -> CArray:
+    """Block-diagonal CArray from a list of (..., m, n) blocks."""
+    total_n = sum(b.shape[-1] for b in blocks)
+    rows = []
+    col0 = 0
+    for b in blocks:
+        m, n = b.shape[-2], b.shape[-1]
+        left = _czeros(b.re.shape[:-1] + (col0,), b.re.dtype)
+        right = _czeros(b.re.shape[:-1] + (total_n - col0 - n,),
+                        b.re.dtype)
+        rows.append(cplx.concatenate([left, b, right], axis=-1))
+        col0 += n
+    return cplx.concatenate(rows, axis=-2)
+
+
+@_full_precision
+def whitening_bd_batched(H: CArray, R: CArray, num_users: int,
+                         iPu: float):
+    """Whiten -> BD -> composite receive filter, batched (reference
+    ``WhiteningBD.block_diagonalize_no_waterfilling``,
+    blockdiagonalization.py:722-837).
+
+    ``H``: (..., K*Nr_u, Nt_total) joint channel WITHOUT the external
+    interference columns; ``R``: (..., K, Nr_u, Nr_u) per-user ext-int-
+    plus-noise covariances. Returns ``(Ms, Wk, valid)``: per-user
+    precoders (..., K, Nt_total, nS), composite receive filters
+    (..., K, nS, Nr_u) (whitening folded in), and a finite/conditioning
+    validity mask."""
+    K = int(num_users)
+    nr_u = H.shape[-2] // K
+    whiteners = [whitening_matrix_batched(R[..., k, :, :]).mH
+                 for k in range(K)]                    # W^H applied
+    bigW = _block_diag_c(whiteners)
+    Hw = cplx.matmul(bigW, H)
+    blocks, sigmas = bd_blocks_no_power_batched(Hw, K)
+    scaled = []
+    for b in blocks:
+        s = jnp.sqrt(iPu) / jnp.maximum(_fro(b, keepdims=True), 1e-30)
+        scaled.append(CArray(b.re * s, b.im * s))
+    Ms = cplx.concatenate(scaled, axis=-1)
+    newH = cplx.matmul(Hw, Ms)
+    big_Wrx = cplx.matmul(cplx.pinv(newH), bigW)
+    nS = Ms.shape[-1] // K
+    Wk = cplx.stack(
+        [big_Wrx[..., k * nS:(k + 1) * nS, k * nr_u:(k + 1) * nr_u]
+         for k in range(K)], axis=-3)
+    Ms_all = cplx.stack(scaled, axis=-3)
+    sig_min = jnp.min(jnp.stack([s[..., 0] for s in sigmas], axis=-1),
+                      axis=-1)
+    finite = jnp.all(jnp.isfinite(Wk.re), axis=(-3, -2, -1)) & \
+        jnp.all(jnp.isfinite(Ms.re), axis=(-2, -1))
+    return Ms_all, Wk, finite & (sig_min > 1e-6)
+
+
+@_full_precision
+def enhanced_bd_batched(H: CArray, R: CArray, num_users: int, iPu: float,
+                        metric=None, num_streams: int = 1,
+                        modulator=None, packet_length: int = 60):
+    """Stream-sacrifice BD with external interference, batched
+    (reference ``EnhancedBD.block_diagonalize_no_waterfilling``,
+    blockdiagonalization.py:839-1469).
+
+    Metrics (``set_ext_int_handling_metric``, :887-1043): ``None`` — no
+    reduction; ``"fixed"``/``"naive"`` — keep ``num_streams`` via the
+    ext-int reduction matrix / the identity prefix; ``"capacity"`` —
+    Shannon sum capacity per candidate count; ``"effective_throughput"``
+    — ``modulator`` spectral efficiency at ``packet_length``. The
+    candidate loop (1..Nt_u stream counts) is a static unroll selected
+    with a one-hot argmax, so the data-dependent sacrifice jits and
+    vmaps.
+
+    ``H``: (..., K*Nr_u, Nt_total) joint channel (no ext-int columns);
+    ``R``: (..., K, Nr_u, Nr_u) ext-int+noise covariances. Requires the
+    symmetric square scenario ``Nt_u == Nr_u`` (apps/comp_BD geometry).
+
+    Returns ``(MsPk, Wk, Ns, sinrs, valid)``: zero-padded per-user
+    precoders (..., K, Nt_total, Nt_u), receive filters
+    (..., K, Nt_u, Nr_u), selected stream counts (..., K), per-stream
+    SINRs (..., K, Nt_u) (0 for dropped streams), and a validity mask
+    for degenerate draws."""
+    from ..subspace.projections import calcProjectionMatrix
+
+    K = int(num_users)
+    nr_tot, nt_tot = H.shape[-2], H.shape[-1]
+    nr_u = nr_tot // K
+    ntk = nt_tot - (K - 1) * nr_u
+    if ntk != nr_u:
+        raise ValueError(
+            "enhanced_bd_batched requires square per-user blocks "
+            f"(Nt_u == Nr_u), got nS={ntk}, Nr_u={nr_u}")
+    if metric in ("fixed", "naive") and not 1 <= num_streams <= ntk:
+        raise ValueError(f"num_streams must be in 1..{ntk}")
+    dt = H.re.dtype
+    blocks, sigmas = bd_blocks_no_power_batched(H, K)
+    eye = cplx.eye(ntk, dt)
+    metric_name = "None" if metric is None else str(metric)
+
+    Ms_users, W_users, Ns_users, sinr_users, ok_users = [], [], [], [], []
+    for k in range(K):
+        Ms_k = blocks[k]
+        Rk = R[..., k, :, :]
+        Heq_k = cplx.matmul(_user_rows(H, k, nr_u), Ms_k)
+        # ext-int stream-reduction basis: ASCENDING right singular
+        # vectors of the covariance (_calc_stream_reduction_matrix,
+        # blockdiagonalization.py:120-144), phases canonicalized like
+        # the BD blocks (the host helper applies the same convention)
+        _, _, vhR = cplx.svd(Rk)
+        V_asc = _canonicalize_phases(_flip_cols(vhR.mH))
+
+        def candidate(ns: int):
+            if metric_name == "naive":
+                Pk = eye[..., :, :ns]
+            elif ns == ntk and metric_name != "fixed":
+                # the full-streams candidate uses the identity, not the
+                # reduction basis (blockdiagonalization.py:375-378)
+                Pk = eye
+            else:
+                Pk = V_asc[..., :, :ns]
+            MsPk_red = cplx.matmul(Ms_k, Pk)          # (..., Nt_tot, ns)
+            norm = (_fro(MsPk_red, keepdims=True) /
+                    jnp.sqrt(jnp.asarray(iPu, dt)))
+            norm = jnp.maximum(norm, 1e-30)
+            MsPk_n = CArray(MsPk_red.re / norm, MsPk_red.im / norm)
+            Heq_red = cplx.matmul(Heq_k, Pk)
+            Heq_red = CArray(Heq_red.re / norm, Heq_red.im / norm)
+            if ns == ntk:
+                Wk = cplx.pinv(Heq_red)
+            else:
+                Pbar = calcProjectionMatrix(Pk)
+                Wk = cplx.matmul(
+                    cplx.pinv(cplx.matmul(Pbar, Heq_red)), Pbar)
+            # per-stream SINRs (_calc_linear_SINRs, :1056-1139)
+            mtP = cplx.matmul(Wk, Heq_red)            # (..., ns, ns)
+            diag = _cdiag(mtP)
+            desired = diag.abs2()
+            internal = jnp.sum(mtP.abs2(), axis=-1) - desired
+            wrw = cplx.matmul(Wk, cplx.matmul(Rk, Wk.mH))
+            ext = jnp.abs(_cdiag(wrw).re)
+            sinr = desired / jnp.maximum(internal + ext, 1e-30)
+            return MsPk_n, Wk, sinr
+
+        def padded(ns: int):
+            MsPk_n, Wk, sinr = candidate(ns)
+            Ms_p = cplx.concatenate(
+                [MsPk_n, _czeros(MsPk_n.re.shape[:-1] + (ntk - ns,),
+                                 dt)], axis=-1) if ns < ntk else MsPk_n
+            Wk_p = cplx.concatenate(
+                [Wk, _czeros(Wk.re.shape[:-2] + (ntk - ns, nr_u), dt)],
+                axis=-2) if ns < ntk else Wk
+            sinr_p = jnp.concatenate(
+                [sinr, jnp.zeros(sinr.shape[:-1] + (ntk - ns,), dt)],
+                axis=-1) if ns < ntk else sinr
+            return Ms_p, Wk_p, sinr_p
+
+        if metric_name == "None":
+            Ms_p, Wk_p, sinr_p = padded(ntk)
+            ns_sel = jnp.full(H.re.shape[:-2], float(ntk), dt)
+        elif metric_name in ("fixed", "naive"):
+            Ms_p, Wk_p, sinr_p = padded(num_streams)
+            ns_sel = jnp.full(H.re.shape[:-2], float(num_streams), dt)
+        elif metric_name in ("capacity", "effective_throughput"):
+            cands = [padded(ns) for ns in range(1, ntk + 1)]
+            if metric_name == "capacity":
+                vals = [jnp.sum(jnp.log2(1.0 + s), axis=-1)
+                        for _, _, s in cands]
+            else:
+                if modulator is None:
+                    raise ValueError(
+                        "effective_throughput requires a modulator")
+                from ..utils.conversion import linear2dB
+                vals = []
+                for ns, (_, _, s) in enumerate(cands, start=1):
+                    se = modulator.calcTheoreticalSpectralEfficiency(
+                        linear2dB(jnp.maximum(s[..., :ns], 1e-30)),
+                        packet_length)
+                    vals.append(jnp.sum(se, axis=-1))
+            vals = jnp.stack(vals, axis=-1)            # (..., ntk)
+            best = jnp.argmax(vals, axis=-1)
+            oh = jax.nn.one_hot(best, ntk, dtype=dt)
+
+            def sel_c(xs):
+                stacked = cplx.stack(xs, axis=0)
+                w = jnp.moveaxis(oh, -1, 0).reshape(
+                    (ntk,) + oh.shape[:-1] + (1, 1))
+                return CArray(jnp.sum(stacked.re * w, axis=0),
+                              jnp.sum(stacked.im * w, axis=0))
+
+            Ms_p = sel_c([c[0] for c in cands])
+            Wk_p = sel_c([c[1] for c in cands])
+            sinr_p = jnp.sum(
+                jnp.stack([c[2] for c in cands], axis=0) *
+                jnp.moveaxis(oh, -1, 0)[..., None], axis=0)
+            ns_sel = best.astype(dt) + 1.0
+        else:
+            raise ValueError(f"unknown metric {metric!r}")
+
+        Ms_users.append(Ms_p)
+        W_users.append(Wk_p)
+        Ns_users.append(ns_sel)
+        sinr_users.append(sinr_p)
+        ok_users.append(jnp.all(jnp.isfinite(Wk_p.re), axis=(-2, -1)) &
+                        (sigmas[k][..., 0] > 1e-6))
+
+    MsPk = cplx.stack(Ms_users, axis=-3)
+    Wk = cplx.stack(W_users, axis=-3)
+    Ns = jnp.stack(Ns_users, axis=-1)
+    sinrs = jnp.stack(sinr_users, axis=-2)
+    valid = jnp.all(jnp.stack(ok_users, axis=-1), axis=-1)
+    return MsPk, Wk, Ns, sinrs, valid

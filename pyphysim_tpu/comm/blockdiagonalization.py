@@ -56,8 +56,14 @@ def calc_receive_filter(newH) -> np.ndarray:
 def _calc_stream_reduction_matrix(Re_k, kept_streams: int) -> np.ndarray:
     """Matrix whose columns are the ``kept_streams`` least significant
     right singular vectors of the ext-int covariance
-    (blockdiagonalization.py:120-144)."""
-    return least_right_singular_vectors(_as_np(Re_k), kept_streams)[0]
+    (blockdiagonalization.py:120-144), per-column phases canonicalized
+    (largest-|entry| pivot real positive) so the construction is
+    deterministic across backends and matches the batched device solver
+    — the singular-vector phase is a pure gauge here (the receive
+    filter compensates it exactly)."""
+    V0 = least_right_singular_vectors(_as_np(Re_k), kept_streams)[0]
+    piv = V0[np.abs(V0).argmax(axis=0), np.arange(V0.shape[1])]
+    return V0 * np.conj(piv / np.maximum(np.abs(piv), 1e-30))
 
 
 def _calc_effective_throughput(sinrs, modulator,
@@ -117,7 +123,17 @@ class BlockDiagonalizer:
             H_user = self._get_sub_channel(H, user)
             _, V1, S = least_right_singular_vectors(
                 H_user @ tilde_V0, iNrU - nStreams)
-            Ms_bad.append(tilde_V0 @ V1)
+            # Canonical per-column phase (largest-|entry| pivot made real
+            # positive): the SVD's phase freedom is physically meaningful
+            # once EnhancedBD mixes these columns through the ext-int
+            # reduction basis; pinning it makes the construction
+            # deterministic across LAPACK/device backends and lets the
+            # batched device solver (comm/batched.py) agree with this one
+            # per-realization. BD itself is invariant to it.
+            blk = tilde_V0 @ V1
+            piv = blk[np.abs(blk).argmax(axis=0), np.arange(blk.shape[1])]
+            blk = blk * np.conj(piv / np.maximum(np.abs(piv), 1e-30))
+            Ms_bad.append(blk)
             Sigma.extend(np.asarray(S).tolist())
         return np.hstack(Ms_bad), np.asarray(Sigma)
 

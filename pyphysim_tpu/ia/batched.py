@@ -732,26 +732,49 @@ def _masked_sinrs(H: CArray, F: CArray, U: CArray, noise_var,
 
 def greedy_stream_solve(H: CArray, key: jax.Array, Ns=2,
                         P: float = 1.0, noise_var: float = 0.1,
-                        iterations: int = 20, init: str = "svd"):
+                        iterations: int = 20, init: str = "svd",
+                        candidate_init: str = "fix"):
     """Greedy worst-stream deletion, entirely on device.
 
     Behavioral counterpart of the reference's GreedStreamIASolver
     (algorithms.py:1853-2051): solve at the full stream allocation,
-    then repeatedly delete the globally worst-SINR stream and re-solve
-    with the 'fix' initialization (the surviving precoders, deleted
-    column zeroed) while the sum capacity strictly improves; stop when
-    it stops improving, when the worst stream is its user's last, or
-    when only K streams remain. The deletion loop is a STATIC unroll of
+    then repeatedly delete the worst-SINR stream among users that still
+    have more than one (algorithms.py:2014-2051 valid_users_idx) and
+    re-solve with the 'fix' initialization (the surviving precoders,
+    deleted column zeroed) while the sum capacity does not decrease;
+    stop on the first strictly-worse deletion (which is rolled back,
+    algorithms.py:1988-2005) or when every user is down to one stream.
+    The deletion loop is a STATIC unroll of
     ``sum(Ns) - K`` steps whose state advances through ``where``
     selects gated by a keep-going flag, so the data-dependent search
     jits and vmaps over channel batches — the reference runs one numpy
     re-solve per deletion.
 
+    ``candidate_init`` selects the optimizer policy for each deletion
+    candidate:
+
+    * ``"fix"`` (default, reference parity): warm re-solve from the
+      surviving precoders with the deleted column zeroed — the
+      reference's ``initialize_with = 'fix'`` (algorithms.py:1977-1981).
+      Warm starts can converge FURTHER than the brute-force search's
+      cold svd starts within a fixed iteration budget, so greedy can
+      beat brute force under this policy.
+    * ``"svd"``: cold re-solve from the svd initialization at the
+      candidate's CANONICAL stream allocation (leading columns per
+      user). Every candidate is then EXACTLY the solve
+      :func:`brute_force_stream_solve` performs for that combination
+      (the masked updates reproduce the static-shape solver for prefix
+      masks — tests pin this), so greedy <= brute force holds by
+      construction: one optimizer policy for both meta-solvers.
+
     Returns ``(F, U, mask, capacities)``: the best precoders/filters
     found, the (K, ns_max) 0/1 mask of surviving streams, and the
     capacity trajectory (base solve + one entry per unrolled step;
     frozen steps repeat the previous value — the reference's
-    ``every_sum_capacity`` analog).
+    ``every_sum_capacity`` analog). The ACHIEVED capacity is
+    ``capacities.max(-1)``: when the search terminates on a rejected
+    deletion (the common case) the trajectory's last entry is the
+    rejected, rolled-back value, not the best.
     """
     K = H.shape[0]
     ns = _as_ns(Ns, K)
@@ -773,6 +796,11 @@ def greedy_stream_solve(H: CArray, key: jax.Array, Ns=2,
         cplx.stack([H[l, k].mH for l in range(K)], axis=0)
         for k in range(K)], axis=0)
 
+    if candidate_init not in ("fix", "svd"):
+        raise ValueError(f"unknown candidate_init {candidate_init!r}")
+    F_svd = svd_init_precoders(H, ns) if candidate_init == "svd" else None
+    iota = jnp.arange(ns_max)
+
     def _sel(cond, a, b):
         c = cond[..., None, None, None] if a.re.ndim == cond.ndim + 3 \
             else cond
@@ -780,19 +808,34 @@ def greedy_stream_solve(H: CArray, key: jax.Array, Ns=2,
 
     for _ in range(sum(ns) - K):
         sinr = _masked_sinrs(H, F, U, noise_var, P)
-        flat = jnp.where(mask > 0, sinr, jnp.inf).reshape(
+        counts = jnp.sum(mask, axis=-1)                     # (..., K)
+        # Only users with more than one stream can lose one: the argmin
+        # is masked to DELETABLE streams, so the search keeps going even
+        # when the globally worst stream belongs to a single-stream user
+        # (reference _find_index_stream_with_worst_sinr's
+        # valid_users_idx filtering, algorithms.py:2014-2051).
+        deletable = counts > 1                              # (..., K)
+        flat = jnp.where((mask > 0) & deletable[..., :, None], sinr,
+                         jnp.inf).reshape(
             sinr.shape[:-2] + (K * ns_max,))
         idx = jnp.argmin(flat, axis=-1)
-        k_star = idx // ns_max
-        counts = jnp.sum(mask, axis=-1)                     # (..., K)
-        user_oh = jax.nn.one_hot(k_star, K, dtype=dt)
-        star_count = jnp.sum(user_oh * counts, axis=-1)
-        can = (star_count > 1) & (jnp.sum(counts, axis=-1) > K)
-        del_oh = jax.nn.one_hot(idx, K * ns_max, dtype=dt).reshape(
-            mask.shape)
-        new_mask = mask * (1.0 - del_oh)
-        m = new_mask[..., :, None, :]
-        F0 = CArray(F.re * m, F.im * m)                     # 'fix' init
+        can = jnp.any(deletable, axis=-1)
+        if candidate_init == "svd":
+            # cold candidate at the CANONICAL allocation (leading
+            # columns of the per-user svd init): identical to the
+            # brute-force search's solve for the same stream counts
+            k_star = idx // ns_max
+            user_oh = jax.nn.one_hot(k_star, K, dtype=dt)
+            canon_counts = jnp.maximum(counts - user_oh, 1.0)
+            new_mask = (iota < canon_counts[..., :, None]).astype(dt)
+            m = new_mask[..., :, None, :]
+            F0 = _normalize_fro(CArray(F_svd.re * m, F_svd.im * m))
+        else:
+            del_oh = jax.nn.one_hot(idx, K * ns_max, dtype=dt).reshape(
+                mask.shape)
+            new_mask = mask * (1.0 - del_oh)
+            m = new_mask[..., :, None, :]
+            F0 = CArray(F.re * m, F.im * m)                 # 'fix' init
         new_counts = jnp.sum(new_mask, axis=-1)
         p_rev = p_fwd / jnp.maximum(new_counts, 1.0)
 
@@ -806,7 +849,10 @@ def greedy_stream_solve(H: CArray, key: jax.Array, Ns=2,
         cap2 = sum_capacity(_masked_sinrs(H, F2, U2, noise_var, P))
 
         go = keep & can
-        improved = cap2 > cap
+        # the reference restores only when STRICTLY worse
+        # (old_sum_capacity > new_sum_capacity, algorithms.py:1988-2005),
+        # i.e. a tie keeps deleting
+        improved = cap2 >= cap
         accept = go & improved
         bF = _sel(accept, F2, bF)
         bU = _sel(accept, U2, bU)

@@ -220,10 +220,15 @@ class MonteCarloOfdmTdl:
         # --- AWGN via inverse-CDF (post-demod equivalent variance) -----
         # erf_inv is a rational polynomial on TPU — ~5x cheaper than
         # Box-Muller's log+sqrt+sincos. Same construction (and the same
-        # f32 ~3.9-sigma reach) as jax.random.normal.
+        # f32 ~3.9-sigma reach) as jax.random.normal. BOTH tails must be
+        # clamped: the int32->f32 cast in _u11 rounds the 64 largest
+        # int32 values to exactly 1.0 (p ~ 1.5e-8 per draw), and
+        # erf_inv(1.0) = +inf would poison the symbol decision — at
+        # ~1e10 sym/s that fires constantly and imposes a spurious
+        # ~1e-8 BER floor exactly in the deep-BER regime.
         sqrt2 = f32(math.sqrt(2.0))
-        z1 = jnp.maximum(_u11(n1_bits), f32(-0.99999994))
-        z2 = jnp.maximum(_u11(n2_bits), f32(-0.99999994))
+        z1 = jnp.clip(_u11(n1_bits), f32(-0.99999994), f32(0.99999994))
+        z2 = jnp.clip(_u11(n2_bits), f32(-0.99999994), f32(0.99999994))
         n_re = jax.lax.erf_inv(z1) * sqrt2
         n_im = jax.lax.erf_inv(z2) * sqrt2
 
@@ -257,7 +262,8 @@ class MonteCarloOfdmTdl:
     # TPU mode: in-kernel PRNG, grid (reps, num_tiles)
     # ------------------------------------------------------------------
 
-    def build(self, reps: int, num_tiles: int):
+    def build(self, reps: int, num_tiles: int, mesh=None,
+              axis: str = "mc"):
         """Jitted ``(seed:int32, snr_linear[, start]) ->
         (reps, num_tiles) int32`` error counts; everything generated on
         device from the hardware PRNG. Symbols simulated per call:
@@ -266,7 +272,71 @@ class MonteCarloOfdmTdl:
         ``start`` offsets the per-repetition stream index: repetition
         ``r`` draws from streams keyed by ``(seed, start + r)``, so a
         caller batching attempts in chunks (the runner's bulk-kernel
-        path) gets chunk-size-invariant, resumable randomness."""
+        path) gets chunk-size-invariant, resumable randomness.
+
+        ``mesh``: a :class:`jax.sharding.Mesh` to split the rep axis
+        over (``reps`` must divide evenly by ``mesh.shape[axis]``). Each
+        device runs the SAME kernel over its contiguous rep slice with
+        its ``start`` advanced by ``device_index * reps_local`` under
+        :func:`shard_map` — the absolute-index stream contract makes the
+        result BIT-IDENTICAL to the unsharded call (SURVEY §2.11 P2 for
+        the flagship path; reference dispatch runner.py:1774-1886). The
+        output is gathered to a replicated array so multi-process hosts
+        can read all rows (the per-key path's replicated-output
+        semantics)."""
+        md = self._matmul_dtype
+        if mesh is None:
+            call = self._make_prng_call(reps, num_tiles)
+
+            @jax.jit
+            def run(seed, snr_linear, start=0):
+                amp = (jnp.sqrt(0.5 / snr_linear) *
+                       self._noise_gain).astype(jnp.float32)
+                seeds = jnp.stack([jnp.asarray(seed, jnp.int32),
+                                   jnp.asarray(start, jnp.int32)])
+                return call(seeds, jnp.reshape(amp, (1,)),
+                            self._g_re.astype(md), self._g_im.astype(md))
+
+            return run
+
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(mesh.shape[axis])
+        if reps % n_dev:
+            raise ValueError(f"reps {reps} not divisible by mesh axis "
+                             f"{axis!r} size {n_dev}")
+        reps_local = reps // n_dev
+        call = self._make_prng_call(reps_local, num_tiles)
+
+        def local(seeds, amp, g_re, g_im):
+            # per-device start offset: device i simulates absolute
+            # attempts [start + i*reps_local, start + (i+1)*reps_local)
+            i = jax.lax.axis_index(axis)
+            seeds = seeds.at[1].add(i * reps_local)
+            return call(seeds, amp, g_re, g_im)
+
+        sharded = shard_map(local, mesh=mesh,
+                            in_specs=(P(), P(), P(), P()),
+                            out_specs=P(axis), check_vma=False)
+        replicated = NamedSharding(mesh, P())
+
+        @jax.jit
+        def run(seed, snr_linear, start=0):
+            amp = (jnp.sqrt(0.5 / snr_linear) *
+                   self._noise_gain).astype(jnp.float32)
+            seeds = jnp.stack([jnp.asarray(seed, jnp.int32),
+                               jnp.asarray(start, jnp.int32)])
+            out = sharded(seeds, jnp.reshape(amp, (1,)),
+                          self._g_re.astype(md), self._g_im.astype(md))
+            return jax.lax.with_sharding_constraint(out, replicated)
+
+        return run
+
+    def _make_prng_call(self, reps: int, num_tiles: int):
+        """The raw hardware-PRNG pallas_call over a (reps, num_tiles)
+        grid; ``seed_ref = [seed, start]`` keys every stream by the
+        ABSOLUTE attempt index ``start + r``."""
         tile, used_p, TLp = self._tile, self._used_p, self._TLp
 
         def kernel(seed_ref, amp_ref, g_re_ref, g_im_ref, out_ref):
@@ -288,8 +358,7 @@ class MonteCarloOfdmTdl:
                 phase_bits, data_bits, n1_bits, n2_bits, s, amp_ref[0],
                 g_re_ref[:], g_im_ref[:])
 
-        md = self._matmul_dtype
-        call = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid=(reps, num_tiles),
             out_shape=jax.ShapeDtypeStruct((reps, num_tiles), jnp.int32),
@@ -308,29 +377,63 @@ class MonteCarloOfdmTdl:
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         )
 
-        @jax.jit
-        def run(seed, snr_linear, start=0):
-            amp = (jnp.sqrt(0.5 / snr_linear) *
-                   self._noise_gain).astype(jnp.float32)
-            seeds = jnp.stack([jnp.asarray(seed, jnp.int32),
-                               jnp.asarray(start, jnp.int32)])
-            return call(seeds, jnp.reshape(amp, (1,)),
-                        self._g_re.astype(md), self._g_im.astype(md))
-
-        return run
-
     # ------------------------------------------------------------------
     # inject mode: bits are inputs — runs under the interpreter on CPU
     # ------------------------------------------------------------------
 
     def build_inject(self, reps: int, num_tiles: int,
-                     interpret: bool = True):
+                     interpret: bool = True, mesh=None,
+                     axis: str = "mc"):
         """Same math, randomness supplied as uint32 tensors:
 
         phase_bits (reps, 8, TLp), data/n1/n2 bits
         (reps, num_tiles * tile, used_p). Returns
         ``fn(phase_bits, data_bits, n1_bits, n2_bits, amp) ->
-        (reps, num_tiles) int32``."""
+        (reps, num_tiles) int32``.
+
+        ``mesh``: shard the rep axis of the bit tensors over
+        ``mesh.shape[axis]`` devices with :func:`shard_map` — the
+        CPU-testable twin of the sharded hardware-PRNG mode (the bits
+        already carry the absolute attempt index, so no in-kernel
+        offset is needed); results are bit-identical to unsharded."""
+        if mesh is None:
+            call = self._make_inject_call(reps, num_tiles, interpret)
+        else:
+            from jax import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = int(mesh.shape[axis])
+            if reps % n_dev:
+                raise ValueError(f"reps {reps} not divisible by mesh "
+                                 f"axis {axis!r} size {n_dev}")
+            local_call = self._make_inject_call(reps // n_dev, num_tiles,
+                                                interpret)
+            sharded = shard_map(
+                local_call, mesh=mesh,
+                in_specs=(P(), P(), P(), P(axis), P(axis), P(axis),
+                          P(axis)),
+                out_specs=P(axis), check_vma=False)
+            replicated = NamedSharding(mesh, P())
+
+            @jax.jit
+            def call(amp, g_re, g_im, pb, db, n1, n2):
+                out = sharded(amp, g_re, g_im, pb, db, n1, n2)
+                return jax.lax.with_sharding_constraint(out, replicated)
+
+        md = self._matmul_dtype
+
+        def run(phase_bits, data_bits, n1_bits, n2_bits, amp):
+            return call(jnp.reshape(amp, (1,)).astype(jnp.float32),
+                        self._g_re.astype(md), self._g_im.astype(md),
+                        phase_bits.astype(jnp.int32),
+                        data_bits.astype(jnp.int32),
+                        n1_bits.astype(jnp.int32),
+                        n2_bits.astype(jnp.int32))
+
+        return run
+
+    def _make_inject_call(self, reps: int, num_tiles: int,
+                          interpret: bool):
         tile, used_p, TLp = self._tile, self._used_p, self._TLp
 
         def kernel(amp_ref, g_re_ref, g_im_ref, pb_ref, db_ref, n1_ref,
@@ -341,7 +444,7 @@ class MonteCarloOfdmTdl:
                 pb_ref[0], db_ref[0], n1_ref[0], n2_ref[0], s, amp_ref[0],
                 g_re_ref[:], g_im_ref[:])
 
-        call = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid=(reps, num_tiles),
             out_shape=jax.ShapeDtypeStruct((reps, num_tiles), jnp.int32),
@@ -363,18 +466,6 @@ class MonteCarloOfdmTdl:
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             interpret=interpret,
         )
-
-        md = self._matmul_dtype
-
-        def run(phase_bits, data_bits, n1_bits, n2_bits, amp):
-            return call(jnp.reshape(amp, (1,)).astype(jnp.float32),
-                        self._g_re.astype(md), self._g_im.astype(md),
-                        phase_bits.astype(jnp.int32),
-                        data_bits.astype(jnp.int32),
-                        n1_bits.astype(jnp.int32),
-                        n2_bits.astype(jnp.int32))
-
-        return run
 
     # ------------------------------------------------------------------
 

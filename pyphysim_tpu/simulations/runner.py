@@ -230,13 +230,21 @@ class SimulationRunner:
         ``(base_seed, unpack_index, start + i)`` — that is what makes
         results chunk-size invariant and checkpoint/resume exact, the
         property the per-key path gets from its fold_in schedule. ``n``
-        is always the full batch size: bulk kernels typically recompile
-        per distinct ``n``, so the runner never requests a smaller tail
-        chunk and instead discards surplus rows past the accepted
-        prefix. Device placement/sharding is the kernel's own
-        responsibility; ``batch_stop_criterion`` applies at chunk
-        granularity only. Takes precedence over
-        ``_gen_simulation_kernel``. Return None (default) if unused."""
+        comes from a fixed 4-entry ladder (batch, batch/2, /4, /8):
+        without a stop criterion it is always the full batch size (the
+        runner discards surplus rows past the accepted prefix rather
+        than requesting odd tail sizes); with ``batch_stop_criterion``
+        set, the runner shrinks down the ladder as the accumulated
+        metric approaches the limit, so a kernel that caches one
+        compiled program per distinct ``n`` compiles at most 4. Returning
+        lazy jax arrays (not numpy) lets the runner enqueue chunk k+1
+        before fetching chunk k (double-buffered dispatch). Sharding is
+        the kernel's own responsibility — ``self.mesh`` is set while
+        :meth:`simulate_in_parallel` runs, and ``ops/mc_pallas.build``
+        accepts it to split the rep axis over the mesh with per-device
+        absolute start offsets (bit-identical to unsharded). Takes
+        precedence over ``_gen_simulation_kernel``. Return None
+        (default) if unused."""
         return None
 
     # noinspection PyUnusedLocal
@@ -479,10 +487,20 @@ class SimulationRunner:
     simulate_serially = simulate
 
     def wait_parallel_simulation(self) -> None:
-        """Compat no-op: the reference's ipyparallel dispatch is
-        asynchronous and must be awaited (runner.py:1857-1886); the
-        TPU-sharded :meth:`simulate_in_parallel` is synchronous — when it
-        returns, results are already gathered."""
+        """Await a sweep started with ``simulate_in_parallel(block=
+        False)`` — the reference's async-dispatch contract
+        (runner.py:1857-1886): join the sweep thread, then re-raise any
+        error it hit. A no-op when no async sweep is running (including
+        after the default blocking ``simulate_in_parallel``, which has
+        already gathered results when it returns)."""
+        thread = getattr(self, "_parallel_thread", None)
+        if thread is None:
+            return
+        thread.join()
+        self._parallel_thread = None
+        err = self.__dict__.pop("_parallel_error", None)
+        if err is not None:
+            raise err
 
     def simulate_common_cleaning(self) -> None:
         """Finalize a simulation: save final results and delete partials
@@ -493,22 +511,50 @@ class SimulationRunner:
             self.results.save_to_file(filename)
         self.__delete_partial_results_maybe()
 
-    def simulate_in_parallel(self, mesh=None) -> None:
+    def simulate_in_parallel(self, mesh=None, block: bool = True) -> None:
         """Run the sweep with repetitions sharded over a device mesh.
 
         TPU-native replacement for the reference's ipyparallel dispatch
         (runner.py:1774-1886): instead of pickling the runner to worker
         processes, the SAME jitted kernel runs SPMD with its key batch
-        sharded across devices; XLA inserts the collectives.
+        sharded across devices; XLA inserts the collectives. Bulk
+        kernels get the mesh through ``self.mesh`` (see
+        :meth:`_gen_bulk_kernel`).
+
+        ``block=False`` reproduces the reference's ASYNC dispatch: the
+        call returns immediately with the sweep running on a background
+        thread (host work can overlap the device sweep) and results are
+        gathered by :meth:`wait_parallel_simulation` — the exact
+        dispatch/await split of reference runner.py:1774-1886. Don't
+        touch ``self.results`` until the wait returns.
         """
         if mesh is None:
             from ..parallel.mesh import make_mesh
             mesh = make_mesh()
         self.mesh = mesh
-        try:
-            self.simulate()
-        finally:
-            self.mesh = None
+
+        def _sweep() -> None:
+            try:
+                self.simulate()
+            finally:
+                self.mesh = None
+
+        if block:
+            _sweep()
+            return
+
+        import threading
+
+        def _async() -> None:
+            try:
+                _sweep()
+            except BaseException as exc:  # re-raised by the wait
+                self._parallel_error = exc
+
+        self._parallel_error = None
+        self._parallel_thread = threading.Thread(
+            target=_async, name="simulate_in_parallel", daemon=True)
+        self._parallel_thread.start()
 
     # ------------------------------------------------------------------
     # Per-variation execution
@@ -787,6 +833,24 @@ class SimulationRunner:
                 skipped_before = int(prior.get_result())
         cursor = current_rep + skipped_before
 
+        def dispatch(cur: int, nk: int):
+            keys = fold_batch(jnp.arange(cur, cur + nk))
+            prior_metric = (self._stop_metric_value(current_results)
+                            if self.batch_stop_criterion is not None
+                            else 0.0)
+            return executor(keys, prior_metric)
+
+        # Double-buffered dispatch (the reference's async ipyparallel
+        # dispatch delta, runner.py:1774-1886): chunk k+1 is ENQUEUED
+        # before chunk k's outputs are materialized — JAX async dispatch
+        # makes this a reordering, not a thread — hiding the fixed
+        # per-dispatch relay latency behind chunk k's host accounting.
+        # Off when a device stop criterion is set (the speculated
+        # prior_metric would gate sub-chunks differently); a mispredicted
+        # cursor (skips landed in chunk k) just discards the speculative
+        # result and re-dispatches.
+        speculate = self.batch_stop_criterion is None
+        pending: Optional[Tuple[int, int, Any]] = None
         while current_rep < self.rep_max and \
                 self._stop_criterion_ok(current_results) and \
                 self._keep_going(current_params, current_results,
@@ -794,11 +858,15 @@ class SimulationRunner:
             tic = time.time()
             needed = self.rep_max - current_rep
             nk = min(bsize, self._round_chunk(needed))
-            keys = fold_batch(jnp.arange(cursor, cursor + nk))
-            prior_metric = (self._stop_metric_value(current_results)
-                            if self.batch_stop_criterion is not None
-                            else 0.0)
-            out, active = executor(keys, prior_metric)
+            if pending is not None and pending[:2] == (cursor, nk):
+                out, active = pending[2]
+            else:
+                out, active = dispatch(cursor, nk)
+            pending = None
+            if speculate and needed > nk:
+                nk_next = min(bsize, self._round_chunk(needed - nk))
+                pending = (cursor + nk, nk_next,
+                           dispatch(cursor + nk, nk_next))
             out = jax.tree_util.tree_map(np.asarray, out)
             elapsed = time.time() - tic
 
@@ -807,6 +875,10 @@ class SimulationRunner:
 
             current_rep += n_accept
             cursor += consumed
+            if consumed != nk:
+                # skips shifted the cursor: every future speculation
+                # would mispredict, so stop paying for discarded chunks
+                speculate = False
             pbar.progress(current_rep)
             self._save_partial_results_maybe(current_rep, current_params,
                                              current_results)
@@ -884,20 +956,69 @@ class SimulationRunner:
                 skipped_before = int(prior.get_result())
         cursor = current_rep + skipped_before
 
-        active = np.ones(bsize, dtype=bool)
+        # Sub-chunk-granular early stop for self-batched kernels: the
+        # kernel always receives a size from a FIXED 4-entry ladder
+        # (bsize, bsize/2, bsize/4, bsize/8 — quantum-rounded), so it
+        # compiles at most 4 shapes; as the accumulated stop metric
+        # approaches the limit the runner picks the smallest rung that
+        # covers the EXPECTED remaining attempts (estimated from the
+        # accepted-rep metric rate), landing the executed work within
+        # ~bsize/8 of the threshold instead of overshooting by a whole
+        # chunk (reference _keep_going granularity, runner.py:1491-1517).
+        ladder = sorted({self._round_chunk(max(bsize // d, 1))
+                         for d in (8, 4, 2, 1)})
+
+        def pick_chunk(needed: int) -> int:
+            if self.batch_stop_criterion is None:
+                return bsize
+            # smallest rung covering rep_max's remaining reps (surplus
+            # rows past the accepted prefix are discarded as usual)
+            nk = next((n for n in ladder if n >= needed), ladder[-1])
+            limit = float(self.batch_stop_criterion[1])
+            metric = self._stop_metric_value(current_results)
+            if current_rep > 0 and metric > 0:
+                rate = metric / current_rep
+                expected = (limit - metric) / rate
+                # largest rung NOT exceeding the expected remaining
+                # attempts (clamped to the smallest): approach the
+                # threshold in shrinking steps so the crossing chunk is
+                # the ~bsize/8 rung, not a full chunk
+                rung = ladder[0]
+                for n in ladder:
+                    if n <= expected:
+                        rung = n
+                nk = min(nk, rung)
+            return nk
+
+        # Double-buffered dispatch, as in _batch_loop: when no stop
+        # criterion gates the work, chunk k+1 is enqueued before chunk
+        # k's outputs are fetched — effective when the kernel returns
+        # lazy device arrays (see _gen_bulk_kernel contract).
+        speculate = self.batch_stop_criterion is None
+        pending: Optional[Tuple[int, int, Any]] = None
         while current_rep < self.rep_max and \
                 self._stop_criterion_ok(current_results) and \
                 self._keep_going(current_params, current_results,
                                  current_rep):
             tic = time.time()
             needed = self.rep_max - current_rep
-            out = bulk(cursor, bsize)
+            nk = pick_chunk(needed)
+            if pending is not None and pending[:2] == (cursor, nk):
+                out = pending[2]
+            else:
+                out = bulk(cursor, nk)
+            pending = None
+            if speculate and needed > nk:
+                pending = (cursor + nk, bsize, bulk(cursor + nk, bsize))
             out = jax.tree_util.tree_map(np.asarray, out)
             elapsed = time.time() - tic
+            active = np.ones(nk, dtype=bool)
             n_accept, consumed, n_skip = self._consume_chunk(
-                out, active, bsize, needed, elapsed, current_results)
+                out, active, nk, needed, elapsed, current_results)
             current_rep += n_accept
             cursor += consumed
+            if consumed != nk:
+                speculate = False  # see _batch_loop
             pbar.progress(current_rep)
             self._save_partial_results_maybe(current_rep, current_params,
                                              current_results)

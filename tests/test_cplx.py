@@ -283,3 +283,99 @@ class TestFFT:
         for n in (8, 9, 64):
             assert np.array_equal(cfft.fftshift_indexes(n),
                                   np.fft.fftshift(np.arange(n)))
+
+
+class TestCeigGeneral:
+    """Direct coverage of the general complex eigendecomposition
+    (cplx.ceig), including the shifted-QR branch for n >= 3 — the
+    precision-critical path the 3-user closed-form IA rides when
+    Nt >= 3 (VERDICT round-2 item 3). Residuals and eigenvalues are
+    checked against numpy.linalg.eig on CPU."""
+
+    @staticmethod
+    def _unpack(w, V):
+        return (np.asarray(w.re) + 1j * np.asarray(w.im),
+                np.asarray(V.re) + 1j * np.asarray(V.im))
+
+    @staticmethod
+    def _max_residual(A, wn, Vn):
+        """max_l ||A v_l - lambda_l v_l|| / ||A||  (unit-norm v_l)."""
+        res = np.linalg.norm(A @ Vn - wn[..., None, :] * Vn, axis=-2)
+        return float((res / np.linalg.norm(
+            A, axis=(-2, -1))[..., None]).max())
+
+    @staticmethod
+    def _max_eigval_err(A, wn):
+        """Best-assignment eigenvalue error vs numpy, relative to the
+        spectral scale."""
+        from scipy.optimize import linear_sum_assignment
+        worst = 0.0
+        for b in range(A.shape[0]):
+            ref = np.linalg.eigvals(A[b])
+            C = np.abs(ref[:, None] - wn[b][None, :])
+            r, c = linear_sum_assignment(C)
+            worst = max(worst, C[r, c].max() / np.abs(ref).max())
+        return worst
+
+    @pytest.mark.parametrize("n", [3, 4, 6])
+    def test_qr_branch_random_simple_spectrum(self, n):
+        rng = np.random.default_rng(n)
+        A = (rng.normal(size=(8, n, n)) +
+             1j * rng.normal(size=(8, n, n))).astype(np.complex64)
+        w, V = cplx.ceig(as_c(A))
+        wn, Vn = self._unpack(w, V)
+        assert np.isfinite(wn).all() and np.isfinite(Vn).all()
+        assert self._max_residual(A, wn, Vn) < 1e-4
+        assert self._max_eigval_err(A, wn) < 1e-4
+
+    def test_qr_branch_vmapped_matches_batched(self):
+        n = 4
+        rng = np.random.default_rng(7)
+        A = (rng.normal(size=(5, n, n)) +
+             1j * rng.normal(size=(5, n, n))).astype(np.complex64)
+        wb, Vb = cplx.ceig(as_c(A))          # batched (leading axis)
+        wv, Vv = jax.vmap(cplx.ceig)(as_c(A))  # vmapped
+        np.testing.assert_allclose(np.asarray(wv.re), np.asarray(wb.re),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(wv.im), np.asarray(wb.im),
+                                   rtol=1e-5, atol=1e-5)
+        wn, Vn = self._unpack(wv, Vv)
+        assert self._max_residual(A, wn, Vn) < 1e-4
+
+    def test_qr_branch_jits(self):
+        n = 3
+        rng = np.random.default_rng(3)
+        A = (rng.normal(size=(2, n, n)) +
+             1j * rng.normal(size=(2, n, n))).astype(np.complex64)
+        w, V = jax.jit(cplx.ceig)(as_c(A))
+        wn, Vn = self._unpack(w, V)
+        assert self._max_residual(A, wn, Vn) < 1e-4
+
+    def test_near_degenerate_spectrum(self):
+        """Two eigenvalues separated by 1e-3 of the spectral scale: the
+        shifted-QR deflation must not stall or NaN, and the computed
+        pairs must still satisfy the eigen-residual bound."""
+        rng = np.random.default_rng(0)
+        for sep in (1e-2, 1e-3, 1e-4):
+            lam = np.array([1.0 + 0.5j, 1.0 + 0.5j + sep,
+                            -0.7 + 0.2j, 2.0 - 1.0j])
+            Vt = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+            A = (Vt @ np.diag(lam) @ np.linalg.inv(Vt)).astype(
+                np.complex64)[None]
+            w, V = cplx.ceig(as_c(A))
+            wn, Vn = self._unpack(w, V)
+            assert np.isfinite(wn).all() and np.isfinite(Vn).all()
+            assert self._max_residual(A, wn, Vn) < 1e-3
+            from scipy.optimize import linear_sum_assignment
+            C = np.abs(lam[:, None] - wn[0][None, :])
+            r, c = linear_sum_assignment(C)
+            assert C[r, c].max() < 1e-2
+
+    def test_2x2_analytic_branch_matches_numpy(self):
+        rng = np.random.default_rng(2)
+        A = (rng.normal(size=(6, 2, 2)) +
+             1j * rng.normal(size=(6, 2, 2))).astype(np.complex64)
+        w, V = cplx.ceig(as_c(A))
+        wn, Vn = self._unpack(w, V)
+        assert self._max_residual(A, wn, Vn) < 1e-5
+        assert self._max_eigval_err(A, wn) < 1e-5

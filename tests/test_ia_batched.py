@@ -329,6 +329,75 @@ class TestBatchedClosedForm:
         assert leaks.shape == (6,)
         assert np.all(leaks < 1e-4)
 
+    def test_nt3_drives_shifted_qr_eig(self):
+        """Nt=3 closed form end-to-end: E is 3x3, so cplx.ceig takes the
+        shifted-QR branch (ops/cplx.py _ceig_qr) — previously untested
+        through the IA path (VERDICT round-2 weakness 1). The QR-branch
+        eigenvectors of E are pinned against numpy.linalg.eig up to
+        phase (the closed form's actual use of them); the end-to-end
+        solution must align interference exactly. Capacity is only
+        banded against the host: with Nt=3, Ns=1 the receive-filter
+        null space is 2-dimensional, so the reference's own leig
+        tie-break is arbitrary (algorithms.py:173-191) and exact
+        capacity parity is not well-defined."""
+        from pyphysim_tpu.channels import MultiUserChannelMatrix
+        from pyphysim_tpu.ia import ClosedFormIASolver
+        from pyphysim_tpu.ia.batched import calc_leakage, closed_form_solve
+        from pyphysim_tpu.ops import cplx
+
+        for seed in (21, 22):
+            mu = MultiUserChannelMatrix()
+            mu.set_channel_seed(seed)
+            mu.randomize(3, 3, 3)   # Nr = Nt = 3
+            mu.noise_var = 0.1
+            H = mu.big_H.reshape(3, 3, 3, 3).swapaxes(1, 2)  # CArray
+            Hn = H.to_numpy()                         # complex numpy
+
+            # -- direct QR-branch parity on THIS chain's E matrix ------
+            En = (np.linalg.solve(Hn[2, 0], Hn[2, 1]) @
+                  np.linalg.solve(Hn[0, 1], Hn[0, 2]) @
+                  np.linalg.solve(Hn[1, 2], Hn[1, 0]))
+            _, v_dev = cplx.ceig(cplx.from_numpy(En.astype(np.complex64)))
+            vd = v_dev.to_numpy()
+            _, v_ref = np.linalg.eig(En)
+            # every device eigenvector matches a reference one up to a
+            # unit phase: |<v_dev, v_ref>| ~ 1 under best assignment
+            from scipy.optimize import linear_sum_assignment
+            overlap = np.abs(v_ref.conj().T @ vd)   # (ref, dev)
+            r, c = linear_sum_assignment(-overlap)
+            assert overlap[r, c].min() > 0.999, (seed, overlap)
+
+            F, U = closed_form_solve(H, Ns=1, P=1.0, noise_var=0.1)
+            Fn, Un = F.to_numpy(), U.to_numpy()
+            assert np.isfinite(Fn).all() and np.isfinite(Un).all()
+            assert float(calc_leakage(H, F, U)) < 1e-4
+
+            host = ClosedFormIASolver(mu, use_best_init=True)
+            host.solve(Ns=1, P=1.0)
+            host_cap = host.calc_sum_capacity()
+            dev_cap = float(sum_capacity(calc_sinrs(H, F, U, 0.1, 1.0)))
+            assert 0.5 * host_cap < dev_cap < 1.5 * host_cap, \
+                (seed, dev_cap, host_cap)
+
+    def test_nt3_vmapped_sweep_finite(self):
+        """The QR-branch eig under vmap+jit over a channel batch — the
+        production sweep shape for Nt=3 closed form."""
+        from pyphysim_tpu.ia.batched import calc_leakage, closed_form_solve
+        from pyphysim_tpu.utils.misc import randn_c
+
+        @jax.jit
+        def run(keys):
+            def one(k):
+                H = randn_c(k, 3, 3, 3, 3)
+                F, U = closed_form_solve(H, Ns=1, noise_var=0.1)
+                return calc_leakage(H, F, U)
+
+            return jax.vmap(one)(keys)
+
+        leaks = np.asarray(run(jax.random.split(jax.random.PRNGKey(9), 4)))
+        assert np.isfinite(leaks).all()
+        assert np.all(leaks < 1e-3)
+
 
 class TestBruteForceStreamSearch:
     """Device brute-force per-user stream search vs the reference-shaped
@@ -485,13 +554,41 @@ class TestGreedyStreamSearch:
             _, _, _, caps = greedy_stream_solve(
                 H, jax.random.PRNGKey(0), Ns=2, P=1.0, noise_var=0.1,
                 iterations=12)
-            dev_best = float(np.asarray(caps)[-1])
+            dev_best = float(np.asarray(caps).max())
             # same svd-seeded deterministic construction; the host's
             # _solve_finalize cleanup of degenerate dimensions makes
             # exact trajectories diverge, but the achieved optimum must
             # agree within a few percent (as for the brute-force search)
             assert abs(dev_best - host_best) / host_best < 0.07, \
                 (seed, dev_best, host_best)
+
+    def test_greedy_bounded_by_brute_force_same_policy(self):
+        """VERDICT round-2 item 7: under ONE optimizer policy
+        (candidate_init='svd' — every greedy candidate is exactly the
+        brute-force solve for that stream allocation) the exhaustive
+        search upper-bounds the greedy search by construction, matching
+        the reference's relationship (algorithms.py:1853-2234). Checked
+        over a batch of random channels."""
+        from pyphysim_tpu.ia.batched import (brute_force_stream_solve,
+                                             greedy_stream_solve)
+        from pyphysim_tpu.utils.misc import randn_c
+
+        @jax.jit
+        def both(key):
+            H = randn_c(key, 3, 3, 2, 2)
+            _, _, _, caps = brute_force_stream_solve(
+                H, key, max_Ns=2, noise_var=0.1, iterations=10)
+            _, _, _, gcaps = greedy_stream_solve(
+                H, key, Ns=2, noise_var=0.1, iterations=10,
+                candidate_init="svd")
+            return jnp.max(caps, axis=-1), jnp.max(gcaps, axis=-1)
+
+        keys = jax.random.split(jax.random.PRNGKey(77), 16)
+        brute, greedy = jax.vmap(both)(keys)
+        brute, greedy = np.asarray(brute), np.asarray(greedy)
+        assert np.all(greedy <= brute + 1e-3), (greedy - brute)
+        # and the greedy walk actually finds most of the capacity
+        assert np.all(greedy >= 0.5 * brute)
 
     def test_vmap_matches_single(self):
         from pyphysim_tpu.ia.batched import greedy_stream_solve

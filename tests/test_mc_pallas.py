@@ -76,10 +76,10 @@ def _model_counts(mc, pb, db, n1, n2, amp):
                 return np.asarray(bits).astype(np.int32).astype(
                     np.float32) * np.float32(2.0 ** -31)
 
-            z1 = np.maximum(u11(n1[r, s * tile:(s + 1) * tile]),
-                            -0.99999994)
-            z2 = np.maximum(u11(n2[r, s * tile:(s + 1) * tile]),
-                            -0.99999994)
+            z1 = np.clip(u11(n1[r, s * tile:(s + 1) * tile]),
+                         -0.99999994, 0.99999994)
+            z2 = np.clip(u11(n2[r, s * tile:(s + 1) * tile]),
+                         -0.99999994, 0.99999994)
             noise = (erfinv(z1) + 1j * erfinv(z2)) * np.sqrt(2.0)
             y = x * H + amp * noise
             eq = y * np.conj(H) / (np.abs(H) ** 2 + 1e-30)
@@ -122,6 +122,23 @@ class TestInjectMatchesModel:
         assert total > 1000  # the comparison is not vacuous
         assert abs(int(got.sum()) - total) <= 32
         assert np.all(np.abs(got - want) <= 16)
+
+    def test_extreme_noise_bits_stay_finite(self):
+        """Regression: 0x7fffffff noise bits cast-round to exactly 1.0 in
+        _u11; without the upper-tail clamp erf_inv(1.0) = +inf corrupts
+        every symbol decision in the tile. With the clamp the noise is a
+        large-but-finite ~3.9-sigma sample: at high SNR (tiny amp) the
+        decisions must come out nearly error-free, not saturated."""
+        mc, _, _ = _make_mc(tile=64)
+        pb, db, n1, n2 = _draw_bits(jax.random.PRNGKey(5), mc, 1, 1)
+        n1 = jnp.full_like(n1, 0x7FFFFFFF)  # -> +1.0 before clamping
+        n2 = jnp.full_like(n2, 0x7FFFFFFF)
+        fn = mc.build_inject(1, 1)
+        amp = np.float32(np.sqrt(0.5 / 10 ** 4.0) * mc.noise_gain)
+        errs = int(np.asarray(fn(pb, db, n1, n2, amp)).sum())
+        bits = mc._tile * mc._used * mc._bits_per_symbol
+        assert errs < 0.01 * bits, (
+            f"{errs}/{bits} bit errors — inf/NaN reached the slicer")
 
     def test_deterministic(self):
         mc, _, _ = _make_mc(tile=64)
@@ -193,6 +210,34 @@ class TestBerStatistics:
         assert lo < ber < hi, f"BER {ber} outside ({lo}, {hi}) at {snr_db}"
 
 
+class TestShardedKernel:
+    """The flagship path's multi-chip mode (SURVEY §2.11 P2): the rep
+    axis split over a Mesh with per-device absolute start offsets under
+    shard_map. The absolute-index stream contract makes sharded and
+    unsharded runs BIT-identical, which is exactly what these pin."""
+
+    def test_inject_sharded_bit_identical(self):
+        from pyphysim_tpu.parallel import make_mesh
+        mc, _, _ = _make_mc(tile=16)
+        reps, nt = 8, 2
+        pb, db, n1, n2 = _draw_bits(jax.random.PRNGKey(0), mc, reps, nt)
+        amp = np.float32(0.1)
+        one = np.asarray(mc.build_inject(reps, nt)(pb, db, n1, n2, amp))
+        for ndev in (2, 8):
+            mesh = make_mesh(ndev)
+            got = np.asarray(
+                mc.build_inject(reps, nt, mesh=mesh)(pb, db, n1, n2, amp))
+            np.testing.assert_array_equal(got, one)
+
+    def test_reps_must_divide(self):
+        from pyphysim_tpu.parallel import make_mesh
+        mc, _, _ = _make_mc(tile=16)
+        with pytest.raises(ValueError, match="divisible"):
+            mc.build_inject(6, 2, mesh=make_mesh(4))
+        with pytest.raises(ValueError, match="divisible"):
+            mc.build(6, 2, mesh=make_mesh(4))
+
+
 class TestTpuMode:
     @pytest.mark.skipif(jax.default_backend() != "tpu",
                         reason="in-kernel PRNG requires real TPU")
@@ -243,14 +288,15 @@ class TestRunnerIntegration:
                 jax.random.PRNGKey(self.base_seed),
                 max(current_parameters.unpack_index, 0))
             bits_per_rep = nt * mc._tile * mc._used * 4
+            mesh = self.mesh
 
             def draw(key, salt, shape):
                 return jax.random.bits(jax.random.fold_in(key, salt),
                                        shape, jnp.uint32)
 
             def bulk(start, n):
-                if n not in self._fns:
-                    self._fns[n] = mc.build_inject(n, nt)
+                if (n, mesh) not in self._fns:
+                    self._fns[n, mesh] = mc.build_inject(n, nt, mesh=mesh)
                 keys = jax.vmap(
                     lambda i: jax.random.fold_in(base, i))(
                         jnp.arange(start, start + n))
@@ -260,7 +306,7 @@ class TestRunnerIntegration:
                 n1 = jax.vmap(lambda k: draw(k, 2, shape))(keys)
                 n2 = jax.vmap(lambda k: draw(k, 3, shape))(keys)
                 counts = np.asarray(
-                    self._fns[n](pb, db, n1, n2, amp)).sum(axis=1)
+                    self._fns[n, mesh](pb, db, n1, n2, amp)).sum(axis=1)
                 return {"bit_errors": counts,
                         "ber": (counts.astype(float),
                                 np.full(n, float(bits_per_rep)))}
@@ -283,3 +329,21 @@ class TestRunnerIntegration:
                            b.results.get_result_values_list("ber"))
         assert a.results["bit_errors"][0].get_result() == \
             b.results["bit_errors"][0].get_result()
+
+    @pytest.mark.parametrize("ndev", [2, 8])
+    def test_mesh_sharded_runner_identical(self, ndev):
+        """The VERDICT round-2 directive: bulk-path runner results must
+        be bit-identical on 1 vs N virtual devices. simulate_in_parallel
+        shards each chunk's rep axis over the mesh; the absolute-index
+        stream contract plus chunk-size invariance make the Results
+        equal EXACTLY, not just statistically."""
+        from pyphysim_tpu.parallel import make_mesh
+        a = self.McRunner(batch_size=4)
+        a.simulate()
+        b = self.McRunner(batch_size=4)
+        b.simulate_in_parallel(make_mesh(ndev))
+        assert b.runned_reps == a.runned_reps
+        for name in ("bit_errors", "ber"):
+            av = a.results.get_result_values_list(name)
+            bv = b.results.get_result_values_list(name)
+            np.testing.assert_array_equal(np.asarray(av), np.asarray(bv))

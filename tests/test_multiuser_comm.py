@@ -717,3 +717,153 @@ class TestVectorizedMuChannel:
         ser = np.array(runner.results.get_result_values_list("ser"))
         # interference-limited: high SER even at 50 dB, and not degenerate
         assert np.all(ser > 0.05) and np.all(ser < 0.95), ser
+
+
+class TestBatchedExtIntBD:
+    """Device ext-int BD family (comm/batched.py whitening_bd_batched /
+    enhanced_bd_batched) cross-checked against the host solvers
+    per-realization (VERDICT round-2 item 6). Both sides use the
+    canonical per-column phase convention, so outputs agree element-wise
+    (f32-relative; ill-conditioned pinvs dominate the error)."""
+
+    K, PE, IPU, NV = 3, 0.1, 1.0, 0.01
+
+    def _setup(self, seed):
+        from pyphysim_tpu.comm.batched import enhanced_bd_batched  # noqa
+        mu = MultiUserChannelMatrixExtInt()
+        mu.randomize(np.full(self.K, 2), np.full(self.K, 2), self.K, 1,
+                     key=jax.random.PRNGKey(seed))
+        mu.noise_var = self.NV
+        Hn = mu.big_H_no_ext_int
+        Hn = Hn.to_numpy() if hasattr(Hn, "to_numpy") else np.asarray(Hn)
+        Rl = mu.calc_cov_matrix_extint_plus_noise(self.PE)
+        Rn = np.stack([
+            r.to_numpy() if hasattr(r, "to_numpy") else np.asarray(r)
+            for r in Rl])
+        H = cplx.from_numpy(Hn.astype(np.complex64))
+        R = cplx.from_numpy(Rn.astype(np.complex64))
+        return mu, H, R, Hn, Rn
+
+    def _cases(self):
+        from pyphysim_tpu.modulators import PSK
+        mod = PSK(4)
+        return [
+            (None, None, {}),
+            ("naive", {"num_streams": 1}, {"num_streams": 1}),
+            ("fixed", {"num_streams": 1}, {"num_streams": 1}),
+            ("capacity", None, {}),
+            ("effective_throughput",
+             {"modulator": mod, "packet_length": 60},
+             {"modulator": mod, "packet_length": 60}),
+        ]
+
+    def test_enhanced_bd_matches_host_all_metrics(self):
+        from pyphysim_tpu.comm.batched import enhanced_bd_batched
+        for seed in (5, 9):
+            mu, H, R, Hn, Rn = self._setup(seed)
+            for metric, extra, kw in self._cases():
+                host = EnhancedBD(self.K, self.IPU, self.NV, self.PE)
+                host.set_ext_int_handling_metric(metric, extra)
+                MsPk_h, Wk_h, Ns_h = \
+                    host.block_diagonalize_no_waterfilling(mu)
+                MsPk_d, Wk_d, Ns_d, sinr_d, valid = enhanced_bd_batched(
+                    H, R, self.K, self.IPU, metric=metric, **kw)
+                assert bool(np.asarray(valid))
+                np.testing.assert_array_equal(
+                    np.asarray(Ns_d), np.asarray(Ns_h, np.float32)), \
+                    (seed, metric)
+                for k in range(self.K):
+                    ns = int(Ns_h[k])
+                    dm = MsPk_d.to_numpy()[k][:, :ns]
+                    dw = Wk_d.to_numpy()[k][:ns, :]
+                    scale_m = max(1.0, np.abs(MsPk_h[k]).max())
+                    scale_w = max(1.0, np.abs(Wk_h[k]).max())
+                    assert np.abs(dm - MsPk_h[k]).max() / scale_m < 2e-2, \
+                        (seed, metric, k)
+                    assert np.abs(dw - Wk_h[k]).max() / scale_w < 2e-2, \
+                        (seed, metric, k)
+                    # padded (dropped) streams are exactly zero
+                    assert np.allclose(MsPk_d.to_numpy()[k][:, ns:], 0)
+                    assert np.allclose(Wk_d.to_numpy()[k][ns:, :], 0)
+
+    def test_enhanced_bd_sinrs_match_host_formula(self):
+        from pyphysim_tpu.comm.batched import enhanced_bd_batched
+        mu, H, R, Hn, Rn = self._setup(7)
+        MsPk_d, Wk_d, Ns_d, sinr_d, valid = enhanced_bd_batched(
+            H, R, self.K, self.IPU, metric="capacity")
+        for k in range(self.K):
+            ns = int(np.asarray(Ns_d)[k])
+            Heq_red = Hn[2 * k:2 * k + 2] @ MsPk_d.to_numpy()[k][:, :ns]
+            want = EnhancedBD._calc_linear_SINRs(
+                Heq_red, Wk_d.to_numpy()[k][:ns, :], Rn[k])
+            got = np.asarray(sinr_d)[k][:ns]
+            np.testing.assert_allclose(got, want, rtol=1e-3)
+
+    def test_enhanced_bd_power_constraint(self):
+        from pyphysim_tpu.comm.batched import enhanced_bd_batched
+        mu, H, R, _, _ = self._setup(11)
+        for metric, _, kw in self._cases():
+            MsPk_d, _, _, _, _ = enhanced_bd_batched(
+                H, R, self.K, self.IPU, metric=metric, **kw)
+            Mn = MsPk_d.to_numpy()
+            for k in range(self.K):
+                assert np.isclose(np.linalg.norm(Mn[k]) ** 2, self.IPU,
+                                  rtol=1e-3), (metric, k)
+
+    def test_enhanced_bd_vmap_matches_single(self):
+        from pyphysim_tpu.comm.batched import enhanced_bd_batched
+        _, H1, R1, _, _ = self._setup(13)
+        _, H2, R2, _, _ = self._setup(14)
+        Hb = cplx.CArray(np.stack([H1.re, H2.re]),
+                         np.stack([H1.im, H2.im]))
+        Rb = cplx.CArray(np.stack([R1.re, R2.re]),
+                         np.stack([R1.im, R2.im]))
+        f = jax.jit(jax.vmap(lambda h, r: enhanced_bd_batched(
+            h, r, self.K, self.IPU, metric="capacity")))
+        Mb, Wb, Nsb, Sb, Vb = f(Hb, Rb)
+        for i, (H, R) in enumerate(((H1, R1), (H2, R2))):
+            M1, W1, Ns1, S1, V1 = enhanced_bd_batched(
+                H, R, self.K, self.IPU, metric="capacity")
+            np.testing.assert_array_equal(np.asarray(Nsb)[i],
+                                          np.asarray(Ns1))
+            np.testing.assert_allclose(np.asarray(Sb)[i],
+                                       np.asarray(S1), rtol=1e-4,
+                                       atol=1e-5)
+
+    def test_degenerate_draw_flagged_invalid(self):
+        from pyphysim_tpu.comm.batched import enhanced_bd_batched
+        _, H, R, Hn, Rn = self._setup(15)
+        # make user 1's rows equal user 2's: tilde_H for user 0 is rank
+        # deficient -> the static null-space shapes are wrong for this
+        # draw and the kernel must flag it rather than return garbage
+        Hbad = Hn.copy()
+        Hbad[2:4, :] = Hbad[4:6, :]
+        Hb = cplx.from_numpy(Hbad.astype(np.complex64))
+        _, _, _, _, valid = enhanced_bd_batched(
+            Hb, R, self.K, self.IPU, metric="capacity")
+        assert not bool(np.asarray(valid))
+
+    def test_whitening_bd_matches_host_structure(self):
+        from pyphysim_tpu.comm.batched import whitening_bd_batched
+        for seed in (5, 8):
+            mu, H, R, Hn, Rn = self._setup(seed)
+            host = WhiteningBD(self.K, self.IPU, self.NV, self.PE)
+            Ms_h, Wk_h, Ns_h = host.block_diagonalize_no_waterfilling(mu)
+            Ms_d, Wk_d, valid = whitening_bd_batched(
+                H, R, self.K, self.IPU)
+            assert bool(np.asarray(valid))
+            Mdn, Wdn = Ms_d.to_numpy(), Wk_d.to_numpy()
+            for k in range(self.K):
+                # per-BS power constraint (both implementations)
+                assert np.isclose(np.linalg.norm(Mdn[k]) ** 2, self.IPU,
+                                  rtol=1e-3)
+                assert np.isclose(np.linalg.norm(Ms_h[k]) ** 2, self.IPU,
+                                  rtol=1e-3)
+                # composite-filter invariant: W_k H_k Ms_j = delta_kj I
+                for j in range(self.K):
+                    got = Wdn[k] @ Hn[2 * k:2 * k + 2] @ Mdn[j]
+                    want_h = Wk_h[k] @ Hn[2 * k:2 * k + 2] @ Ms_h[j]
+                    target = np.eye(2) if j == k else np.zeros((2, 2))
+                    assert np.abs(got - target).max() < 1e-3, (seed, k, j)
+                    assert np.abs(want_h - target).max() < 1e-3, \
+                        (seed, k, j)

@@ -1013,3 +1013,150 @@ class TestBulkKernelPath:
         r = Both()
         r.simulate()
         assert r.runned_reps == [10, 10, 10]
+
+
+class _DummyBulkStopRunner(SimulationRunner):
+    """Bulk runner with a deterministic 1-error-per-attempt metric, for
+    pinning the adaptive chunk-ladder early stop."""
+
+    def __init__(self, limit=100.0, batch_size=64):
+        super().__init__(read_command_line_args=False)
+        self.params.add("SNR", np.array([0.0]))
+        self.params.set_unpack_parameter("SNR")
+        self.rep_max = 1000
+        self.update_progress_function_style = None
+        self.batch_size = batch_size
+        self.batch_result_types = {"errors": Result.SUMTYPE}
+        self.batch_stop_criterion = ("errors", limit)
+        self.bulk_calls = []
+
+    def _gen_bulk_kernel(self, current_parameters):
+        calls = self.bulk_calls
+
+        def bulk(start, n):
+            calls.append((start, n))
+            return {"errors": np.ones(n)}
+
+        return bulk
+
+
+class TestBulkAdaptiveEarlyStop:
+    """VERDICT round-2 item 4: the bulk path's early stop must land
+    within ~batch/8 of the threshold, not overshoot by a whole chunk.
+    The runner shrinks successive chunks down a fixed 4-rung ladder as
+    the accumulated metric approaches the limit."""
+
+    def test_executed_work_lands_within_min_rung(self):
+        r = _DummyBulkStopRunner(limit=100.0, batch_size=64)
+        r.simulate()
+        # 64 (no estimate yet) -> expected 36 -> rung 32 -> expected 4
+        # -> rung 8 crosses the limit: 104 executed, 4 past the
+        # threshold (< 64/8 = 8)
+        assert r.bulk_calls == [(0, 64), (64, 32), (96, 8)]
+        assert r.runned_reps == [104]
+        assert r.results["errors"][0].get_result() == 104
+
+    def test_kernel_sees_only_ladder_sizes(self):
+        r = _DummyBulkStopRunner(limit=777.0, batch_size=64)
+        r.simulate()
+        sizes = {n for _, n in r.bulk_calls}
+        assert sizes <= {64, 32, 16, 8}
+        # overshoot past the crossing is bounded by the smallest rung
+        assert 777 <= r.runned_reps[0] < 777 + 8
+
+    def test_matches_unlimited_prefix(self):
+        """The accepted attempts are a PREFIX of the no-criterion run:
+        adaptive chunking must not change which attempts are counted."""
+        a = _DummyBulkStopRunner(limit=100.0, batch_size=64)
+        a.simulate()
+        b = _DummyBulkStopRunner(limit=1e9, batch_size=64)
+        b.rep_max = a.runned_reps[0]
+        b.simulate()
+        assert a.results["errors"][0].get_result() == \
+            b.results["errors"][0].get_result()
+
+
+class TestAsyncParallelDispatch:
+    """simulate_in_parallel(block=False) + wait_parallel_simulation —
+    the reference's async dispatch/await split (runner.py:1774-1886):
+    the call returns while the sweep runs; the wait gathers results."""
+
+    def test_returns_immediately_and_wait_gathers(self):
+        import threading
+
+        gate = threading.Event()
+
+        class Gated(_DummyBulkRunner):
+            def _on_simulate_start(self):
+                gate.wait(timeout=30)
+
+        r = Gated()
+        r.simulate_in_parallel(block=False)
+        # the sweep has NOT run yet — the dispatch returned immediately
+        assert r.runned_reps == []
+        gate.set()
+        r.wait_parallel_simulation()
+        assert r.runned_reps == [10, 10, 10]
+        assert r.results.get_result_values_list("attempt_sum") == \
+            [45.0, 45.0, 45.0]
+        assert r.mesh is None  # released after the sweep
+
+    def test_wait_reraises_sweep_errors(self):
+        class Boom(_DummyBulkRunner):
+            def _on_simulate_start(self):
+                raise RuntimeError("engine failure")
+
+        r = Boom()
+        r.simulate_in_parallel(block=False)
+        with pytest.raises(RuntimeError, match="engine failure"):
+            r.wait_parallel_simulation()
+        # a second wait is a no-op, not a re-raise
+        r.wait_parallel_simulation()
+
+    def test_wait_without_async_sweep_is_noop(self):
+        r = _DummyBulkRunner()
+        r.simulate()
+        r.wait_parallel_simulation()
+        assert r.runned_reps == [10, 10, 10]
+
+
+class TestDoubleBufferedDispatch:
+    """VERDICT round-2 item 5: chunk k+1 is enqueued before chunk k's
+    outputs are consumed. Results must be invariant; a mispredicted
+    speculative chunk (skips shifted the cursor) is discarded."""
+
+    def test_bulk_results_unchanged_with_skips(self):
+        a = _DummyBulkRunner(skip_every=3, batch_size=4)
+        a.simulate()
+        assert a.results.get_result_values_list("attempt_sum") == \
+            [75.0, 75.0, 75.0]
+        assert all(n == 4 for _, n in a.bulk_calls)
+
+    def test_speculative_chunk_is_dispatched_ahead(self):
+        """The bulk kernel sees the k+1 dispatch BEFORE the runner's
+        per-chunk checkpoint hook for chunk k runs."""
+        order = []
+
+        class Spy(_DummyBulkRunner):
+            def _save_partial_results_maybe(self, rep, p, res):
+                order.append(("consumed", rep))
+                return super()._save_partial_results_maybe(rep, p, res)
+
+        r = Spy(batch_size=4)
+        orig_gen = r._gen_bulk_kernel
+
+        def wrapped_gen(p):
+            inner = orig_gen(p)
+
+            def bulk(start, n):
+                order.append(("dispatch", start))
+                return inner(start, n)
+
+            return bulk
+
+        r._gen_bulk_kernel = wrapped_gen
+        r.simulate()
+        # for the first variation: dispatch 0, dispatch 4 (speculative),
+        # THEN consume chunk 0
+        assert order[:3] == [("dispatch", 0), ("dispatch", 4),
+                             ("consumed", 4)]
