@@ -137,6 +137,142 @@ def simulate(reps: int = 100, pe_dbm: float = 10.0, snr_db: float = 15.0,
     return ser, ber, per, se
 
 
+def simulate_device(reps: int = 512, pe_dbm: float = 10.0,
+                    snr_db: float = 15.0,
+                    metric: str = "effective_throughput",
+                    verbose: bool = True):
+    """Device Monte Carlo of the SAME scenario: channel draw ->
+    EnhancedBD (``pyphysim_tpu.comm.enhanced_bd_batched``) -> precode ->
+    concatenated channel + ext interference + noise -> per-user receive
+    filter -> demodulate -> SER, the WHOLE repetition vmapped and run
+    through the SimulationRunner batch path with the ``__valid__``
+    degenerate-draw mask. Same statistics as :func:`simulate` (tests pin
+    the SER within Monte Carlo confidence), ~3 orders faster per rep.
+
+    Returns ``(ser, ber, per, spectral_efficiency)``."""
+    import jax.numpy as jnp
+
+    from pyphysim_tpu.comm.batched import enhanced_bd_batched
+    from pyphysim_tpu.ops import cplx
+    from pyphysim_tpu.simulations import Result, SimulationRunner
+    from pyphysim_tpu.utils.misc import count_bit_errors, randn_c
+
+    cell_radius = 1.0
+    num_cells = 3
+    nr = nt = 2
+    M = 4
+    modulator = PSK(M)
+    packet_length = 60
+    NSymbs = 500
+    N0_dBm = -116.4
+    ext_int_rank = 1
+
+    path_loss_obj = PathLoss3GPP1()
+    path_loss_border = float(path_loss_obj.calc_path_loss(cell_radius))
+    noise_var = float(dBm2Linear(N0_dBm))
+    snr = float(dB2Linear(snr_db))
+    transmit_power = snr * noise_var / path_loss_border
+    pe = float(dBm2Linear(pe_dbm))
+
+    grid = Grid()
+    grid.create_clusters(1, num_cells, cell_radius)
+    cluster0 = grid._clusters[0]
+    cluster0.delete_all_users()
+    cluster0.add_border_users(np.arange(1, num_cells + 1),
+                              np.array([210, -30, 90]), 0.7)
+    dists = cluster0.calc_dist_all_users_to_each_cell()
+    sqrt_pl = np.sqrt(np.asarray(path_loss_obj.calc_path_loss(dists)))
+    dist_to_center = np.array(
+        [cluster0.calc_dist(u) for u in cluster0.get_all_users()])
+    sqrt_pl_int = np.sqrt(np.asarray(path_loss_obj.calc_path_loss(
+        cluster0.external_radius - dist_to_center)))   # (K,)
+
+    K, ntk = num_cells, nt
+    metric_arg = None if metric in (None, "None") else metric
+    kw = {}
+    if metric_arg == "effective_throughput":
+        kw = {"modulator": modulator, "packet_length": packet_length}
+    elif metric_arg in ("naive", "fixed"):
+        kw = {"num_streams": 1}
+
+    class _Runner(SimulationRunner):
+        def __init__(self):
+            super().__init__(read_command_line_args=False)
+            self.params.add("SNR", np.array([snr_db]))
+            self.params.set_unpack_parameter("SNR")
+            self.rep_max = reps
+            self.update_progress_function_style = \
+                "text1" if verbose else None
+            self.batch_result_types = {
+                "ser": Result.RATIOTYPE, "ber": Result.RATIOTYPE}
+
+        def _gen_simulation_kernel(self, p):
+            spl = jnp.asarray(sqrt_pl, jnp.float32)
+            spl_i = jnp.asarray(sqrt_pl_int, jnp.float32)
+
+            def kernel(key):
+                kH, kE, kD, kX, kN = jax.random.split(key, 5)
+                Hb = randn_c(kH, K, K, nr, nt)       # (rx k, tx j)
+                Hb = cplx.CArray(Hb.re * spl[:, :, None, None],
+                                 Hb.im * spl[:, :, None, None])
+                H = cplx.concatenate(
+                    [cplx.concatenate([Hb[k, j] for j in range(K)],
+                                      axis=-1) for k in range(K)],
+                    axis=-2)                          # (K*nr, K*nt)
+                He = randn_c(kE, K, nr, ext_int_rank)
+                He = cplx.CArray(He.re * spl_i[:, None, None],
+                                 He.im * spl_i[:, None, None])
+                gram = cplx.matmul(He, He.mH)         # (K, nr, nr)
+                eye = jnp.eye(nr, dtype=jnp.float32)
+                R = cplx.CArray(pe * gram.re + noise_var * eye,
+                                pe * gram.im)
+                MsPk, Wk, Ns, _, valid = enhanced_bd_batched(
+                    H, R, K, transmit_power, metric=metric_arg, **kw)
+
+                data = jax.random.randint(kD, (K, ntk, NSymbs), 0, M)
+                x = modulator.modulate(data)          # (K, ntk, NSymbs)
+                active = (jnp.arange(ntk, dtype=jnp.float32)[None, :] <
+                          Ns[:, None])                # (K, ntk)
+                tx = cplx.matmul(MsPk[0], x[0])
+                for k in range(1, K):
+                    tx = tx + cplx.matmul(MsPk[k], x[k])
+                ext = randn_c(kX, ext_int_rank, NSymbs) * \
+                    float(np.sqrt(pe))
+                He_stack = cplx.concatenate(
+                    [He[k] for k in range(K)], axis=-2)  # (K*nr, rank)
+                noise = randn_c(kN, K * nr, NSymbs) * \
+                    float(np.sqrt(noise_var))
+                rx = cplx.matmul(H, tx) + cplx.matmul(He_stack, ext) + \
+                    noise
+                errs = jnp.asarray(0, jnp.int32)
+                bit_errs = jnp.asarray(0, jnp.int32)
+                for k in range(K):
+                    y = cplx.matmul(Wk[k], rx[k * nr:(k + 1) * nr, :])
+                    decided = modulator.demodulate(y)  # (ntk, NSymbs)
+                    mask = active[k][:, None]
+                    errs = errs + jnp.sum(
+                        jnp.where(mask, decided != data[k], False))
+                    diff_bits = count_bit_errors(
+                        jnp.where(mask, data[k], 0),
+                        jnp.where(mask, decided, 0))
+                    bit_errs = bit_errs + diff_bits
+                total = jnp.sum(active) * NSymbs
+                return {"ser": (errs.astype(jnp.float32), total),
+                        "ber": (bit_errs.astype(jnp.float32),
+                                total * modulator.K),
+                        "__valid__": valid}
+
+            return kernel
+
+    runner = _Runner()
+    runner.simulate()
+    ser = float(runner.results.get_result_values_list("ser")[0])
+    ber = float(runner.results.get_result_values_list("ber")[0])
+    per = 1 - (1 - ber) ** packet_length
+    se = modulator.K * (1 - per)
+    return ser, ber, per, se
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--reps", type=int, default=100)
@@ -145,11 +281,16 @@ def main():
     parser.add_argument("--metric", default="effective_throughput",
                         help="None | naive | fixed | capacity | "
                              "effective_throughput")
+    parser.add_argument("--device", action="store_true",
+                        help="run the vmapped device Monte Carlo "
+                             "(enhanced_bd_batched) instead of the "
+                             "host per-repetition loop")
     args = parser.parse_args()
 
     tic = time()
-    ser, ber, per, se = simulate(args.reps, args.pe_dbm, args.snr,
-                                 args.metric)
+    sim = simulate_device if args.device else simulate
+    ser, ber, per, se = sim(args.reps, args.pe_dbm, args.snr,
+                            args.metric)
     print()
     print(f"SER: {ser}")
     print(f"BER: {ber}")

@@ -311,11 +311,17 @@ def whitening_bd_batched(H: CArray, R: CArray, num_users: int,
         [big_Wrx[..., k * nS:(k + 1) * nS, k * nr_u:(k + 1) * nr_u]
          for k in range(K)], axis=-3)
     Ms_all = cplx.stack(scaled, axis=-3)
+    # degenerate-draw detection must be SCALE-RELATIVE: the absolute
+    # magnitudes depend on pathloss/power normalization (the comp_BD
+    # scenario runs at ~1e-4 channel scales where any absolute floor
+    # would flag healthy draws)
     sig_min = jnp.min(jnp.stack([s[..., 0] for s in sigmas], axis=-1),
+                      axis=-1)
+    sig_max = jnp.max(jnp.stack([s[..., -1] for s in sigmas], axis=-1),
                       axis=-1)
     finite = jnp.all(jnp.isfinite(Wk.re), axis=(-3, -2, -1)) & \
         jnp.all(jnp.isfinite(Ms.re), axis=(-2, -1))
-    return Ms_all, Wk, finite & (sig_min > 1e-6)
+    return Ms_all, Wk, finite & (sig_min > 1e-6 * sig_max)
 
 
 @_full_precision
@@ -464,8 +470,10 @@ def enhanced_bd_batched(H: CArray, R: CArray, num_users: int, iPu: float,
         W_users.append(Wk_p)
         Ns_users.append(ns_sel)
         sinr_users.append(sinr_p)
+        # scale-relative conditioning test (see whitening_bd_batched)
         ok_users.append(jnp.all(jnp.isfinite(Wk_p.re), axis=(-2, -1)) &
-                        (sigmas[k][..., 0] > 1e-6))
+                        (sigmas[k][..., 0] >
+                         1e-6 * sigmas[k][..., -1]))
 
     MsPk = cplx.stack(Ms_users, axis=-3)
     Wk = cplx.stack(W_users, axis=-3)
