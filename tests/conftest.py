@@ -16,11 +16,28 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+# silence XLA:CPU AOT-loader feature-mismatch warnings (the persistent
+# cache below stores +prefer-no-scatter/-gather pseudo-features that the
+# host detector never reports; the load is benign and verified)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent XLA compilation cache: the suite's cost is dominated by
+# compiles of heavily-unrolled solver programs (brute/greedy stream
+# search, BD chains), and they are identical run to run — caching them
+# cuts habitual re-runs from ~15 min to well under 10 (the round-2
+# VERDICT suite-runtime directive). The cache lives outside the repo
+# and is safe to delete at any time.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.expanduser("~"), ".cache",
+                 "pyphysim_tpu_test_xla_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def pytest_report_header(config):

@@ -261,7 +261,7 @@ class TestBatchedBDCapacityApp:
             runner = BatchedBDCapacityRunner(mode)
             runner.params.add("Pu_dB", np.array([-5.0, 10.0]))
             runner.params.set_unpack_parameter("Pu_dB")
-            runner.rep_max = 64
+            runner.rep_max = 32
             runner.base_seed = 77  # same channels for both modes
             runner.simulate()
             caps[mode] = np.array(

@@ -134,8 +134,8 @@ class TestIaApps:
         # sum-capacity cross-check for the batched IA family)
         from apps.ia.ia_SINRs_and_capacity import main
         monkeypatch.setattr(sys, "argv",
-                            ["ia_SINRs_and_capacity.py", "--reps", "16",
-                             "--iters", "10", "--crosscheck", "16"])
+                            ["ia_SINRs_and_capacity.py", "--reps", "8",
+                             "--iters", "8", "--crosscheck", "8"])
         main()
         out = capsys.readouterr().out
         assert "Alt Min" in out and "Closed Form" in out
@@ -218,6 +218,8 @@ class TestStandaloneApps:
 
 
 class TestBatchedStreamSelection:
+    @pytest.mark.heavy  # the light histogram test covers the app path;
+    # this full 3-SNR CLI run costs ~4 min of compile
     def test_runs_and_prefers_more_streams_at_high_snr(self, monkeypatch,
                                                        capsys):
         from apps.ia.batched_stream_selection import (
@@ -231,17 +233,19 @@ class TestBatchedStreamSelection:
 
     def test_histogram_semantics(self):
         from apps.ia.batched_stream_selection import StreamSelectionRunner
-        r = StreamSelectionRunner(iters=8, reps=16)
+        r = StreamSelectionRunner(iters=6, reps=8)
+        # two SNR points keep the semantics (histogram fractions, cap
+        # monotonicity, greedy/brute bound) at 2/3 the compile cost
+        r.params.add("SNR", np.array([0.0, 20.0]))
         r.simulate()
-        for i in range(3):
+        for i in range(2):
             hist = r.results["stream_choice"][i].get_result()
             assert np.isclose(hist.sum(), 1.0)  # CHOICETYPE fractions
         # capacity grows with SNR
         caps = r.results.get_result_values_list("sum_capacity")
-        assert caps[0] < caps[1] < caps[2]
-        # the greedy search keeps most of the exhaustive capacity; it can
-        # even EXCEED it slightly, because its 'fix'-initialized re-solves
-        # are warm-started and converge further within the fixed
-        # iteration budget than brute force's cold svd starts
+        assert caps[0] < caps[1]
+        # with the shared svd candidate policy the greedy search is
+        # bounded by the exhaustive one BY CONSTRUCTION and keeps most
+        # of its capacity
         for g in r.results.get_result_values_list("greedy_capacity_ratio"):
-            assert 0.7 < float(g) < 1.15
+            assert 0.7 < float(g) < 1.0 + 1e-5

@@ -4,6 +4,7 @@ host solver's physics and vmap/jit behavior."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pyphysim_tpu.ia.batched import (calc_sinrs, max_sinr_solve,
                                      random_unit_precoders, sum_capacity)
@@ -417,7 +418,7 @@ class TestBruteForceStreamSearch:
         from pyphysim_tpu.ia.batched import (brute_force_stream_solve,
                                              stream_combinations)
 
-        for seed in (31, 32):
+        for seed in (31,):
             mu, H = self._setup(seed)
             inner = MaxSinrIASolver(mu)
             inner.max_iterations = 12
@@ -462,6 +463,8 @@ class TestBruteForceStreamSearch:
             assert np.allclose(U.to_numpy()[k][:, 1], 0)
         assert not np.allclose(F.to_numpy()[0][:, 1], 0)
 
+    @pytest.mark.heavy  # structural vmap coverage of the exhaustive
+    # search; the bounded-by-brute test vmaps it with semantics asserts
     def test_vmap_jit(self):
         from pyphysim_tpu.ia.batched import brute_force_stream_solve
 
@@ -583,13 +586,15 @@ class TestGreedyStreamSearch:
                 candidate_init="svd")
             return jnp.max(caps, axis=-1), jnp.max(gcaps, axis=-1)
 
-        keys = jax.random.split(jax.random.PRNGKey(77), 16)
+        keys = jax.random.split(jax.random.PRNGKey(77), 8)
         brute, greedy = jax.vmap(both)(keys)
         brute, greedy = np.asarray(brute), np.asarray(greedy)
         assert np.all(greedy <= brute + 1e-3), (greedy - brute)
         # and the greedy walk actually finds most of the capacity
         assert np.all(greedy >= 0.5 * brute)
 
+    @pytest.mark.heavy  # bit-level vmap-vs-single equality; vmapped
+    # greedy semantics stay covered by the bounded-by-brute test
     def test_vmap_matches_single(self):
         from pyphysim_tpu.ia.batched import greedy_stream_solve
         from pyphysim_tpu.ops.cplx import CArray
