@@ -223,6 +223,23 @@ def _cdiag(x: CArray) -> CArray:
 
 
 @_full_precision
+def _bd_conditioning_ok(H: CArray, sigmas) -> jnp.ndarray:
+    """Degenerate-draw detector for the static-shape BD chain, fully
+    SCALE-INVARIANT (the comp_BD scenario runs at ~1e-4 channel scales,
+    so no absolute floors): a draw is healthy when every user's
+    effective singular values are (a) well-conditioned relative to each
+    other and (b) carry real gain relative to the CHANNEL's own scale —
+    (b) catches e.g. duplicated users, where nulling the other users
+    also nulls the own channel and the 'null-space gain' is pure f32
+    noise with an O(1) min/max ratio."""
+    fro = jnp.sqrt(jnp.sum(H.re ** 2 + H.im ** 2, axis=(-2, -1)))
+    ok = None
+    for s in sigmas:
+        u = (s[..., 0] > 1e-6 * s[..., -1]) & (s[..., -1] > 1e-5 * fro)
+        ok = u if ok is None else (ok & u)
+    return ok
+
+
 def bd_blocks_no_power_batched(H: CArray, num_users: int):
     """Per-user null-space precoder blocks WITHOUT power scaling, columns
     in the reference's ASCENDING effective-singular-value order
@@ -311,17 +328,9 @@ def whitening_bd_batched(H: CArray, R: CArray, num_users: int,
         [big_Wrx[..., k * nS:(k + 1) * nS, k * nr_u:(k + 1) * nr_u]
          for k in range(K)], axis=-3)
     Ms_all = cplx.stack(scaled, axis=-3)
-    # degenerate-draw detection must be SCALE-RELATIVE: the absolute
-    # magnitudes depend on pathloss/power normalization (the comp_BD
-    # scenario runs at ~1e-4 channel scales where any absolute floor
-    # would flag healthy draws)
-    sig_min = jnp.min(jnp.stack([s[..., 0] for s in sigmas], axis=-1),
-                      axis=-1)
-    sig_max = jnp.max(jnp.stack([s[..., -1] for s in sigmas], axis=-1),
-                      axis=-1)
     finite = jnp.all(jnp.isfinite(Wk.re), axis=(-3, -2, -1)) & \
         jnp.all(jnp.isfinite(Ms.re), axis=(-2, -1))
-    return Ms_all, Wk, finite & (sig_min > 1e-6 * sig_max)
+    return Ms_all, Wk, finite & _bd_conditioning_ok(Hw, sigmas)
 
 
 @_full_precision
@@ -470,14 +479,12 @@ def enhanced_bd_batched(H: CArray, R: CArray, num_users: int, iPu: float,
         W_users.append(Wk_p)
         Ns_users.append(ns_sel)
         sinr_users.append(sinr_p)
-        # scale-relative conditioning test (see whitening_bd_batched)
-        ok_users.append(jnp.all(jnp.isfinite(Wk_p.re), axis=(-2, -1)) &
-                        (sigmas[k][..., 0] >
-                         1e-6 * sigmas[k][..., -1]))
+        ok_users.append(jnp.all(jnp.isfinite(Wk_p.re), axis=(-2, -1)))
 
     MsPk = cplx.stack(Ms_users, axis=-3)
     Wk = cplx.stack(W_users, axis=-3)
     Ns = jnp.stack(Ns_users, axis=-1)
     sinrs = jnp.stack(sinr_users, axis=-2)
-    valid = jnp.all(jnp.stack(ok_users, axis=-1), axis=-1)
+    valid = jnp.all(jnp.stack(ok_users, axis=-1), axis=-1) & \
+        _bd_conditioning_ok(H, sigmas)
     return MsPk, Wk, Ns, sinrs, valid

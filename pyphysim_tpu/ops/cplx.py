@@ -329,30 +329,65 @@ def _embed(a: CArray) -> jnp.ndarray:
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def solve(a: CArray, b: CArray) -> CArray:
-    """Solve ``A x = b`` for complex A, b via the real embedding.
+def _inv2x2(a: CArray) -> CArray:
+    """Closed-form 2x2 complex inverse (adjugate / determinant):
+    pure elementwise VPU arithmetic. The general path's real-embedded LU
+    is a long serial chain of tiny kernels — for the 2x2 matrices that
+    dominate the IA/MIMO hot loops the adjugate is ~an order of
+    magnitude faster on TPU and exact in the same f32 model."""
+    a00, a01 = a[..., 0, 0], a[..., 0, 1]
+    a10, a11 = a[..., 1, 0], a[..., 1, 1]
+    det = a00 * a11 - a01 * a10
+    d2 = det.abs2()
+    # 1/det = conj(det)/|det|^2, guarded like the general path's LU
+    # (singular input -> inf/nan there too; callers mask)
+    inv_re = det.re / jnp.maximum(d2, 1e-38)
+    inv_im = -det.im / jnp.maximum(d2, 1e-38)
+    inv_det = CArray(inv_re, inv_im)
+    row0 = stack([a11 * inv_det, -a01 * inv_det], axis=-1)
+    row1 = stack([-a10 * inv_det, a00 * inv_det], axis=-1)
+    return stack([row0, row1], axis=-2)
 
-    Batched over leading dims. ``b`` may be a matrix (..., n, k) or a
-    vector (..., n).
+
+def solve(a: CArray, b: CArray) -> CArray:
+    """Solve ``A x = b`` for complex A, b.
+
+    ``n <= 2`` uses the closed-form adjugate inverse (elementwise VPU
+    work — the small-matrix hot path of the IA solvers); larger systems
+    go through the real embedding and LU. Batched over leading dims.
+    ``b`` may be a matrix (..., n, k) or a vector (..., n).
     """
     a = _coerce(a)
     b = _coerce(b)
     vec = b.ndim == a.ndim - 1
     if vec:
         b = CArray(b.re[..., None], b.im[..., None])
-    rhs = jnp.concatenate([b.re, b.im], axis=-2)
-    sol = jnp.linalg.solve(_embed(a), rhs)
     n = a.shape[-1]
-    x = CArray(sol[..., :n, :], sol[..., n:, :])
+    if n == 1:
+        d2 = jnp.maximum(a.abs2(), 1e-38)          # (..., 1, 1)
+        x = CArray((b.re * a.re + b.im * a.im) / d2,
+                   (b.im * a.re - b.re * a.im) / d2)
+    elif n == 2:
+        x = matmul(_inv2x2(a), b)
+    else:
+        rhs = jnp.concatenate([b.re, b.im], axis=-2)
+        sol = jnp.linalg.solve(_embed(a), rhs)
+        x = CArray(sol[..., :n, :], sol[..., n:, :])
     if vec:
         x = CArray(x.re[..., 0], x.im[..., 0])
     return x
 
 
 def inv(a: CArray) -> CArray:
-    """Complex matrix inverse via the real embedding."""
+    """Complex matrix inverse: closed-form adjugate for ``n <= 2``
+    (see :func:`solve`), real-embedded LU otherwise."""
     a = _coerce(a)
     n = a.shape[-1]
+    if n == 1:
+        d2 = jnp.maximum(a.abs2(), 1e-38)
+        return CArray(a.re / d2, -a.im / d2)
+    if n == 2:
+        return _inv2x2(a)
     m = jnp.linalg.inv(_embed(a))
     return CArray(m[..., :n, :n], m[..., n:, :n])
 
