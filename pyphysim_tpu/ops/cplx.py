@@ -422,13 +422,61 @@ def pinv(a: CArray, rcond: float = 1e-3, refine: int = 2) -> CArray:
     return w
 
 
+def _eigh2x2(a: CArray):
+    """Closed-form 2x2 Hermitian eigendecomposition (ascending order):
+    pure elementwise VPU arithmetic, replacing the real-embedded 4x4
+    LAPACK eigh on the 2x2 matrices that dominate the small-solver hot
+    paths (Bkl covariances, whitening, 2x2 Gram SVDs). The second
+    eigenvector is the EXACT orthogonal complement of the first, so V
+    stays unitary even for (near-)degenerate spectra; the fully
+    degenerate ``A = c I`` case deterministically returns the identity
+    basis (the general path's tie-break contract)."""
+    ar = a.re[..., 0, 0]
+    cr = a.re[..., 1, 1]
+    br = a.re[..., 0, 1]
+    bi = a.im[..., 0, 1]
+    zero = jnp.zeros_like(ar)
+    half = 0.5 * (ar + cr)
+    delta = 0.5 * (ar - cr)
+    rad = jnp.sqrt(delta * delta + br * br + bi * bi)
+    w0 = half - rad
+    w1 = half + rad
+    # (A - w0 I) v = 0 -> v = [b, w0 - a00] or [w0 - a11, b*]; keep the
+    # larger-norm construction (covers b -> 0 with distinct diagonal)
+    c1_re = jnp.stack([br, w0 - ar], axis=-1)
+    c1_im = jnp.stack([bi, zero], axis=-1)
+    c2_re = jnp.stack([w0 - cr, br], axis=-1)
+    c2_im = jnp.stack([zero, -bi], axis=-1)
+    n1 = jnp.sum(c1_re ** 2 + c1_im ** 2, axis=-1, keepdims=True)
+    n2 = jnp.sum(c2_re ** 2 + c2_im ** 2, axis=-1, keepdims=True)
+    use1 = n1 >= n2
+    v_re = jnp.where(use1, c1_re, c2_re)
+    v_im = jnp.where(use1, c1_im, c2_im)
+    nrm2 = jnp.sum(v_re ** 2 + v_im ** 2, axis=-1, keepdims=True)
+    scale2 = (ar * ar + cr * cr +
+              2.0 * (br * br + bi * bi))[..., None]   # ||A||_F^2
+    degen = nrm2 <= 1e-12 * (scale2 + 1e-30)
+    inv_nrm = 1.0 / jnp.sqrt(jnp.maximum(nrm2, 1e-38))
+    e0 = jnp.stack([jnp.ones_like(ar), zero], axis=-1)
+    v_re = jnp.where(degen, e0, v_re * inv_nrm)
+    v_im = jnp.where(degen, 0.0, v_im * inv_nrm)
+    # exact orthogonal complement: u = [-conj(v_y), conj(v_x)]
+    u_re = jnp.stack([-v_re[..., 1], v_re[..., 0]], axis=-1)
+    u_im = jnp.stack([v_im[..., 1], -v_im[..., 0]], axis=-1)
+    V = CArray(jnp.stack([v_re, u_re], axis=-1),
+               jnp.stack([v_im, u_im], axis=-1))
+    return jnp.stack([w0, w1], axis=-1), V
+
+
 def eigh(a: CArray, *, tie_break: bool = True):
     """Eigendecomposition of a (batched) Hermitian complex matrix.
 
-    Uses ``eigh`` of the symmetric real embedding; each complex eigenvalue
-    appears twice with real eigenvectors spanning ``{v, jv}``. We take one
-    representative of each pair (every other ascending eigenvalue) and read
-    the complex eigenvector off its top/bottom halves.
+    ``n == 2`` uses a closed form (see :func:`_eigh2x2`). Larger
+    matrices use ``eigh`` of the symmetric real embedding; each complex
+    eigenvalue appears twice with real eigenvectors spanning ``{v, jv}``.
+    We take one representative of each pair (every other ascending
+    eigenvalue) and read the complex eigenvector off its top/bottom
+    halves.
 
     Degenerate eigenvalues of ``A`` itself would make that selection
     ambiguous (for ``A = I`` the picks can be ``v`` and ``jv`` — the same
@@ -442,6 +490,10 @@ def eigh(a: CArray, *, tie_break: bool = True):
     """
     a = _coerce(a)
     n = a.shape[-1]
+    if n == 1:
+        return a.re[..., 0, :], ones(a.shape, a.dtype)
+    if n == 2:
+        return _eigh2x2(a)
     work = a
     if tie_break and n > 1:
         # RELATIVE perturbation scale: an absolute floor here silently
