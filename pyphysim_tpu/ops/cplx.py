@@ -468,15 +468,97 @@ def _eigh2x2(a: CArray):
     return jnp.stack([w0, w1], axis=-1), V
 
 
+def _round_robin_pairs(n: int):
+    """Rounds of DISJOINT index pairs covering every (p, q) once per
+    sweep (the circle-method tournament schedule): the disjoint
+    rotations of one round commute, so each round is ONE unitary."""
+    m = n + (n % 2)
+    idx = list(range(m))
+    rounds = []
+    for _ in range(m - 1):
+        pairs = []
+        for i in range(m // 2):
+            x, y = idx[i], idx[m - 1 - i]
+            if x < n and y < n:
+                pairs.append((min(x, y), max(x, y)))
+        rounds.append(tuple(pairs))
+        idx = [idx[0]] + [idx[-1]] + idx[1:-1]
+    return tuple(rounds)
+
+
+def _eigh_jacobi(a: CArray, sweeps: int = 8):
+    """Batched cyclic Jacobi eigendecomposition for small Hermitian
+    matrices (3 <= n <= 8), ascending eigenvalues.
+
+    XLA's general eigh (QDWH + spectral divide and conquer on the real
+    embedding) is a very long serial chain of kernels — the latency
+    bound of the BD null-space pipeline. One round-robin ROUND here
+    applies all n/2 disjoint 2x2 rotations as a single n x n unitary
+    (three batched small matmuls), so a full sweep is ~n-1 short steps
+    of elementwise rotation math + matmuls; quadratic convergence makes
+    ``sweeps=8`` machine-precision for n <= 8 (prototype-verified at
+    1e-15 in f64; f32 lands at its own eps)."""
+    n = a.shape[-1]
+    dt = a.re.dtype
+    batch = a.re.shape[:-2]
+    eye_n = jnp.broadcast_to(jnp.eye(n, dtype=dt), batch + (n, n))
+    V = CArray(eye_n, jnp.zeros_like(eye_n))
+    A = a
+    for _ in range(sweeps):
+        for pairs in _round_robin_pairs(n):
+            g_re = eye_n
+            g_im = jnp.zeros_like(eye_n)
+            for p, q in pairs:
+                app = A.re[..., p, p]
+                aqq = A.re[..., q, q]
+                pr, pi = A.re[..., p, q], A.im[..., p, q]
+                m = jnp.sqrt(pr * pr + pi * pi)
+                # guards must stay in the NORMAL f32 range: XLA CPU
+                # flushes subnormals (a 1e-38 floor becomes 0 and the
+                # phase ratio overflows to inf, NaN-ing s * ph)
+                m_safe = jnp.maximum(m, 1e-30)
+                live = m > 1e-30 * (jnp.abs(app) + jnp.abs(aqq) + m)
+                ph_re = jnp.where(live, pr / m_safe, 0.0)
+                ph_im = jnp.where(live, pi / m_safe, 0.0)
+                tau = (aqq - app) / (2.0 * m_safe)
+                sgn = jnp.where(tau >= 0, 1.0, -1.0).astype(dt)
+                t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+                c = 1.0 / jnp.sqrt(1.0 + t * t)
+                s = t * c
+                c = jnp.where(live, c, 1.0)
+                s = jnp.where(live, s, 0.0)
+                g_re = g_re.at[..., p, p].set(c)
+                g_re = g_re.at[..., q, q].set(c)
+                g_re = g_re.at[..., p, q].set(s * ph_re)
+                g_im = g_im.at[..., p, q].set(s * ph_im)
+                g_re = g_re.at[..., q, p].set(-s * ph_re)
+                g_im = g_im.at[..., q, p].set(s * ph_im)
+            G = CArray(g_re, g_im)
+            A = matmul(G.mH, matmul(A, G))
+            V = matmul(V, G)
+        # re-Hermitize: f32 drift off the Hermitian manifold slows the
+        # quadratic convergence
+        A = CArray(0.5 * (A.re + jnp.swapaxes(A.re, -1, -2)),
+                   0.5 * (A.im - jnp.swapaxes(A.im, -1, -2)))
+    w = _diagonal(A.re)
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    V = CArray(jnp.take_along_axis(V.re, order[..., None, :], axis=-1),
+               jnp.take_along_axis(V.im, order[..., None, :], axis=-1))
+    return w, V
+
+
 def eigh(a: CArray, *, tie_break: bool = True):
     """Eigendecomposition of a (batched) Hermitian complex matrix.
 
-    ``n == 2`` uses a closed form (see :func:`_eigh2x2`). Larger
-    matrices use ``eigh`` of the symmetric real embedding; each complex
-    eigenvalue appears twice with real eigenvectors spanning ``{v, jv}``.
-    We take one representative of each pair (every other ascending
-    eigenvalue) and read the complex eigenvector off its top/bottom
-    halves.
+    ``n == 2`` uses a closed form (see :func:`_eigh2x2`); ``3 <= n <= 8``
+    a batched round-robin Jacobi iteration (:func:`_eigh_jacobi`) —
+    both replace the very long serial kernel chain XLA's general eigh
+    lowers to for tiny matrices. Larger matrices use ``eigh`` of the
+    symmetric real embedding; each complex eigenvalue appears twice
+    with real eigenvectors spanning ``{v, jv}``. We take one
+    representative of each pair (every other ascending eigenvalue) and
+    read the complex eigenvector off its top/bottom halves.
 
     Degenerate eigenvalues of ``A`` itself would make that selection
     ambiguous (for ``A = I`` the picks can be ``v`` and ``jv`` — the same
@@ -494,6 +576,8 @@ def eigh(a: CArray, *, tie_break: bool = True):
         return a.re[..., 0, :], ones(a.shape, a.dtype)
     if n == 2:
         return _eigh2x2(a)
+    if n <= 8:
+        return _eigh_jacobi(a)
     work = a
     if tie_break and n > 1:
         # RELATIVE perturbation scale: an absolute floor here silently
