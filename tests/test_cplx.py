@@ -379,3 +379,50 @@ class TestCeigGeneral:
         wn, Vn = self._unpack(w, V)
         assert self._max_residual(A, wn, Vn) < 1e-5
         assert self._max_eigval_err(A, wn) < 1e-5
+
+
+class TestEighSmallNFastPaths:
+    """The closed-form 2x2 and round-robin Jacobi (3 <= n <= 8) eigh
+    branches: residual, unitarity and eigenvalues against numpy, plus
+    the degenerate cases the tie-break contract covers."""
+
+    @pytest.mark.parametrize("n", [2, 3, 4, 6, 8])
+    def test_hermitian_random(self, n):
+        rng = np.random.default_rng(n)
+        X = rng.normal(size=(16, n, n)) + 1j * rng.normal(size=(16, n, n))
+        A = (X @ np.conj(np.swapaxes(X, -1, -2))).astype(np.complex64)
+        w, V = cplx.eigh(as_c(A))
+        wn, Vn = np.asarray(w), V.to_numpy()
+        # ascending
+        assert np.all(np.diff(wn, axis=-1) >= -1e-4)
+        # eigenvalues match numpy
+        wr = np.linalg.eigvalsh(A)
+        assert (np.abs(wn - wr) /
+                np.abs(wr).max(-1, keepdims=True)).max() < 1e-5
+        # eigen-residual and unitarity at f32 machine precision
+        res = np.linalg.norm(A @ Vn - Vn * wn[..., None, :],
+                             axis=(-2, -1))
+        assert (res / np.linalg.norm(A, axis=(-2, -1))).max() < 1e-5
+        VhV = np.conj(np.swapaxes(Vn, -1, -2)) @ Vn
+        assert np.abs(VhV - np.eye(n)).max() < 1e-5
+
+    @pytest.mark.parametrize("n", [2, 4, 6])
+    def test_degenerate_finite_and_unitary(self, n):
+        for A in (np.eye(n, dtype=np.complex64)[None],
+                  np.zeros((1, n, n), np.complex64)):
+            w, V = cplx.eigh(as_c(A))
+            Vn = V.to_numpy()
+            assert np.isfinite(np.asarray(w)).all()
+            assert np.isfinite(Vn).all()
+            VhV = np.conj(np.swapaxes(Vn, -1, -2)) @ Vn
+            assert np.abs(VhV - np.eye(n)).max() < 1e-5
+
+    def test_jit_vmap(self):
+        n = 6
+        rng = np.random.default_rng(1)
+        X = rng.normal(size=(4, n, n)) + 1j * rng.normal(size=(4, n, n))
+        A = (X @ np.conj(np.swapaxes(X, -1, -2))).astype(np.complex64)
+        wb, _ = cplx.eigh(as_c(A))
+        wv, _ = jax.jit(jax.vmap(cplx.eigh))(as_c(A))
+        np.testing.assert_allclose(np.asarray(wv), np.asarray(wb),
+                                   rtol=1e-5, atol=1e-5)
