@@ -21,9 +21,17 @@ sys.path.insert(0, ".")
 
 import jax
 
-# host rep-loop with small per-rep matrices: the BD math is numpy and the
-# few device ops are tiny, so keep them off the TPU tunnel
-jax.config.update("jax_platforms", "cpu")
+
+def _pin_cpu() -> None:
+    """The HOST rep-loop works on small per-rep numpy matrices; its few
+    jax ops are tiny, so keep them off the TPU tunnel. Called from
+    :func:`simulate` only — the ``--device`` path
+    (:func:`simulate_device`) must run on the default backend (the TPU
+    when present). A backend that is already initialized stays as-is."""
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:  # backend already initialized; leave it
+        pass
 
 import numpy as np
 from scipy import linalg as sp_linalg
@@ -51,6 +59,7 @@ def simulate(reps: int = 100, pe_dbm: float = 10.0, snr_db: float = 15.0,
     give SER ~0.70. (The stale numbers recorded in the reference script's
     comments — SER 0.0105 / PER 0.30 — predate its current geometry.)
     """
+    _pin_cpu()
     cell_radius = 1.0  # km
     num_cells = 3
     num_clusters = 1

@@ -262,10 +262,11 @@ def _bench_families(results, log):
                               iterations=10, init="svd")
         return sum_capacity(calc_sinrs(H, F, U, 0.1, 1.0))
 
-    # the closed-form 2x2 solve path (ops/cplx.py) lifted this family
-    # ~14x (1.3e4 -> 1.9e5 solves/s); batch 1024 keeps the dispatch
-    # comfortably above the relay's fixed latency at the new speed
-    batch, iters = 1024, 200
+    # the closed-form small-matrix paths (ops/cplx.py solve/eigh) lifted
+    # this family ~120x (1.3e4 -> 1.6e6 solves/s); batch x iters keeps
+    # the dispatch seconds-long so the relay's fixed ~24 ms latency
+    # stays <1% (>=500-iteration rule, CLAUDE.md)
+    batch, iters = 4096, 1000
     run = _make_runner_f(ia_step, batch, iters)
     log("ia: compiling + warmup")
     run(_make_key(6), 0.0)
@@ -292,7 +293,7 @@ def _bench_families(results, log):
         return jnp.where(jnp.isfinite(cap) & (jnp.min(Sigma) > 1e-6),
                          cap, 0.0)
 
-    batch, iters = 512, 200
+    batch, iters = 512, 500
     run = _make_runner_f(bd_step, batch, iters)
     log("bd: compiling + warmup")
     run(_make_key(8), 0.0)
@@ -334,6 +335,9 @@ def bench_ofdm_tdl():
         for k in [k for k in results if k.startswith("ber_")]:
             del results[k]
         results.pop("value", None)
+        # the sharded-identity flag describes the Pallas kernel; do not
+        # attach it to a result line whose headline came from elsewhere
+        results.pop("sharded_1dev_identical", None)
         log(f"pallas kernel stage failed ({exc!r}); "
             "falling back to XLA fused headline")
 

@@ -194,10 +194,6 @@ def _fro(x: CArray, keepdims: bool = False) -> jnp.ndarray:
                             keepdims=keepdims))
 
 
-def _czeros(shape, dtype) -> CArray:
-    return CArray(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
-
-
 def _canonicalize_phases(x: CArray) -> CArray:
     """Rotate each COLUMN so its largest-magnitude entry is real
     positive. SVD/eig bases carry an arbitrary per-column phase (LAPACK
@@ -240,6 +236,7 @@ def _bd_conditioning_ok(H: CArray, sigmas) -> jnp.ndarray:
     return ok
 
 
+@_full_precision
 def bd_blocks_no_power_batched(H: CArray, num_users: int):
     """Per-user null-space precoder blocks WITHOUT power scaling, columns
     in the reference's ASCENDING effective-singular-value order
@@ -288,8 +285,8 @@ def _block_diag_c(blocks) -> CArray:
     col0 = 0
     for b in blocks:
         m, n = b.shape[-2], b.shape[-1]
-        left = _czeros(b.re.shape[:-1] + (col0,), b.re.dtype)
-        right = _czeros(b.re.shape[:-1] + (total_n - col0 - n,),
+        left = cplx.zeros(b.re.shape[:-1] + (col0,), b.re.dtype)
+        right = cplx.zeros(b.re.shape[:-1] + (total_n - col0 - n,),
                         b.re.dtype)
         rows.append(cplx.concatenate([left, b, right], axis=-1))
         col0 += n
@@ -328,8 +325,10 @@ def whitening_bd_batched(H: CArray, R: CArray, num_users: int,
         [big_Wrx[..., k * nS:(k + 1) * nS, k * nr_u:(k + 1) * nr_u]
          for k in range(K)], axis=-3)
     Ms_all = cplx.stack(scaled, axis=-3)
-    finite = jnp.all(jnp.isfinite(Wk.re), axis=(-3, -2, -1)) & \
-        jnp.all(jnp.isfinite(Ms.re), axis=(-2, -1))
+    finite = (jnp.all(jnp.isfinite(Wk.re) & jnp.isfinite(Wk.im),
+                      axis=(-3, -2, -1)) &
+              jnp.all(jnp.isfinite(Ms.re) & jnp.isfinite(Ms.im),
+                      axis=(-2, -1)))
     return Ms_all, Wk, finite & _bd_conditioning_ok(Hw, sigmas)
 
 
@@ -423,10 +422,10 @@ def enhanced_bd_batched(H: CArray, R: CArray, num_users: int, iPu: float,
         def padded(ns: int):
             MsPk_n, Wk, sinr = candidate(ns)
             Ms_p = cplx.concatenate(
-                [MsPk_n, _czeros(MsPk_n.re.shape[:-1] + (ntk - ns,),
+                [MsPk_n, cplx.zeros(MsPk_n.re.shape[:-1] + (ntk - ns,),
                                  dt)], axis=-1) if ns < ntk else MsPk_n
             Wk_p = cplx.concatenate(
-                [Wk, _czeros(Wk.re.shape[:-2] + (ntk - ns, nr_u), dt)],
+                [Wk, cplx.zeros(Wk.re.shape[:-2] + (ntk - ns, nr_u), dt)],
                 axis=-2) if ns < ntk else Wk
             sinr_p = jnp.concatenate(
                 [sinr, jnp.zeros(sinr.shape[:-1] + (ntk - ns,), dt)],
@@ -479,7 +478,9 @@ def enhanced_bd_batched(H: CArray, R: CArray, num_users: int, iPu: float,
         W_users.append(Wk_p)
         Ns_users.append(ns_sel)
         sinr_users.append(sinr_p)
-        ok_users.append(jnp.all(jnp.isfinite(Wk_p.re), axis=(-2, -1)))
+        ok_users.append(jnp.all(
+            jnp.isfinite(Wk_p.re) & jnp.isfinite(Wk_p.im),
+            axis=(-2, -1)))
 
     MsPk = cplx.stack(Ms_users, axis=-3)
     Wk = cplx.stack(W_users, axis=-3)

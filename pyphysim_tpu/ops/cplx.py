@@ -340,9 +340,11 @@ def _inv2x2(a: CArray) -> CArray:
     det = a00 * a11 - a01 * a10
     d2 = det.abs2()
     # 1/det = conj(det)/|det|^2, guarded like the general path's LU
-    # (singular input -> inf/nan there too; callers mask)
-    inv_re = det.re / jnp.maximum(d2, 1e-38)
-    inv_im = -det.im / jnp.maximum(d2, 1e-38)
+    # (singular input -> inf/nan there too; callers mask). The floor
+    # must be a NORMAL f32 (1e-38 is subnormal and XLA CPU flushes it
+    # to 0, turning the guard into a no-op).
+    inv_re = det.re / jnp.maximum(d2, 1e-30)
+    inv_im = -det.im / jnp.maximum(d2, 1e-30)
     inv_det = CArray(inv_re, inv_im)
     row0 = stack([a11 * inv_det, -a01 * inv_det], axis=-1)
     row1 = stack([-a10 * inv_det, a00 * inv_det], axis=-1)
@@ -364,7 +366,7 @@ def solve(a: CArray, b: CArray) -> CArray:
         b = CArray(b.re[..., None], b.im[..., None])
     n = a.shape[-1]
     if n == 1:
-        d2 = jnp.maximum(a.abs2(), 1e-38)          # (..., 1, 1)
+        d2 = jnp.maximum(a.abs2(), 1e-30)          # (..., 1, 1)
         x = CArray((b.re * a.re + b.im * a.im) / d2,
                    (b.im * a.re - b.re * a.im) / d2)
     elif n == 2:
@@ -384,7 +386,7 @@ def inv(a: CArray) -> CArray:
     a = _coerce(a)
     n = a.shape[-1]
     if n == 1:
-        d2 = jnp.maximum(a.abs2(), 1e-38)
+        d2 = jnp.maximum(a.abs2(), 1e-30)
         return CArray(a.re / d2, -a.im / d2)
     if n == 2:
         return _inv2x2(a)
@@ -431,21 +433,29 @@ def _eigh2x2(a: CArray):
     stays unitary even for (near-)degenerate spectra; the fully
     degenerate ``A = c I`` case deterministically returns the identity
     basis (the general path's tie-break contract)."""
-    ar = a.re[..., 0, 0]
-    cr = a.re[..., 1, 1]
-    br = a.re[..., 0, 1]
-    bi = a.im[..., 0, 1]
+    # normalize by the max |entry| first: the formulas below SQUARE
+    # entries, so extreme-scale inputs (>= ~2e19 or <= ~1e-19 in f32)
+    # would overflow/flush without it — the general LAPACK path scales
+    # internally, and this branch must not narrow the supported range
+    amax = jnp.max(jnp.maximum(jnp.abs(a.re), jnp.abs(a.im)),
+                   axis=(-2, -1))
+    sc = 1.0 / jnp.maximum(amax, 1e-30)
+    ar = a.re[..., 0, 0] * sc
+    cr = a.re[..., 1, 1] * sc
+    br = a.re[..., 0, 1] * sc
+    bi = a.im[..., 0, 1] * sc
     zero = jnp.zeros_like(ar)
     half = 0.5 * (ar + cr)
     delta = 0.5 * (ar - cr)
     rad = jnp.sqrt(delta * delta + br * br + bi * bi)
-    w0 = half - rad
-    w1 = half + rad
+    w0 = (half - rad) * amax
+    w1 = (half + rad) * amax
+    w0s = half - rad                    # scaled eigenvalue, for vectors
     # (A - w0 I) v = 0 -> v = [b, w0 - a00] or [w0 - a11, b*]; keep the
     # larger-norm construction (covers b -> 0 with distinct diagonal)
-    c1_re = jnp.stack([br, w0 - ar], axis=-1)
+    c1_re = jnp.stack([br, w0s - ar], axis=-1)
     c1_im = jnp.stack([bi, zero], axis=-1)
-    c2_re = jnp.stack([w0 - cr, br], axis=-1)
+    c2_re = jnp.stack([w0s - cr, br], axis=-1)
     c2_im = jnp.stack([zero, -bi], axis=-1)
     n1 = jnp.sum(c1_re ** 2 + c1_im ** 2, axis=-1, keepdims=True)
     n2 = jnp.sum(c2_re ** 2 + c2_im ** 2, axis=-1, keepdims=True)
@@ -456,7 +466,7 @@ def _eigh2x2(a: CArray):
     scale2 = (ar * ar + cr * cr +
               2.0 * (br * br + bi * bi))[..., None]   # ||A||_F^2
     degen = nrm2 <= 1e-12 * (scale2 + 1e-30)
-    inv_nrm = 1.0 / jnp.sqrt(jnp.maximum(nrm2, 1e-38))
+    inv_nrm = 1.0 / jnp.sqrt(jnp.maximum(nrm2, 1e-30))
     e0 = jnp.stack([jnp.ones_like(ar), zero], axis=-1)
     v_re = jnp.where(degen, e0, v_re * inv_nrm)
     v_im = jnp.where(degen, 0.0, v_im * inv_nrm)
@@ -501,6 +511,13 @@ def _eigh_jacobi(a: CArray, sweeps: int = 8):
     n = a.shape[-1]
     dt = a.re.dtype
     batch = a.re.shape[:-2]
+    # normalize by the max |entry| (see _eigh2x2): the rotation math
+    # squares off-diagonals, so tiny-scale inputs would flush to zero
+    # and silently skip every rotation
+    amax = jnp.max(jnp.maximum(jnp.abs(a.re), jnp.abs(a.im)),
+                   axis=(-2, -1))
+    sc = (1.0 / jnp.maximum(amax, 1e-30))[..., None, None]
+    a = CArray(a.re * sc, a.im * sc)
     eye_n = jnp.broadcast_to(jnp.eye(n, dtype=dt), batch + (n, n))
     V = CArray(eye_n, jnp.zeros_like(eye_n))
     A = a
@@ -540,7 +557,7 @@ def _eigh_jacobi(a: CArray, sweeps: int = 8):
         # quadratic convergence
         A = CArray(0.5 * (A.re + jnp.swapaxes(A.re, -1, -2)),
                    0.5 * (A.im - jnp.swapaxes(A.im, -1, -2)))
-    w = _diagonal(A.re)
+    w = _diagonal(A.re) * amax[..., None]
     order = jnp.argsort(w, axis=-1)
     w = jnp.take_along_axis(w, order, axis=-1)
     V = CArray(jnp.take_along_axis(V.re, order[..., None, :], axis=-1),

@@ -426,3 +426,26 @@ class TestEighSmallNFastPaths:
         wv, _ = jax.jit(jax.vmap(cplx.eigh))(as_c(A))
         np.testing.assert_allclose(np.asarray(wv), np.asarray(wb),
                                    rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("n", [2, 4])
+    @pytest.mark.parametrize("scale", [1e-25, 1e18])
+    def test_extreme_scales(self, n, scale):
+        """The closed forms square entries, so without internal
+        normalization f32 inputs at ~1e-25 (Gram of a deeply
+        pathloss-scaled channel) or ~1e18 would flush/overflow."""
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(4, n, n)) + 1j * rng.normal(size=(4, n, n))
+        A = ((X @ np.conj(np.swapaxes(X, -1, -2))) *
+             scale).astype(np.complex64)
+        w, V = cplx.eigh(as_c(A))
+        wn = np.asarray(w).astype(np.float64)
+        Vn = V.to_numpy().astype(np.complex128)
+        assert np.isfinite(wn).all() and np.isfinite(Vn).all()
+        A64 = A.astype(np.complex128)   # the CHECKS need f64: norms of
+        # 1e-25-scale f32 arrays flush to 0 and 0/0-NaN the assertions
+        wr = np.linalg.eigvalsh(A64)
+        np.testing.assert_allclose(
+            wn, wr, rtol=1e-4, atol=1e-5 * np.abs(wr).max())
+        res = np.linalg.norm(A64 @ Vn - Vn * wn[..., None, :],
+                             axis=(-2, -1))
+        assert (res / np.linalg.norm(A64, axis=(-2, -1))).max() < 1e-5
