@@ -226,8 +226,12 @@ def _bench_families(results, log):
     from pyphysim_tpu.utils.misc import count_bit_errors, randn_c
 
     # ---- (a) Alamouti 2x1 flat Rayleigh -----------------------------
+    # shape swept on v5e: 2048 sym/rep x 1024 reps (3.5e9+) beats
+    # 512 x 512 (2.3e9) — bigger per-op arrays amortize the unfused
+    # chain's launch overheads; iters keeps the dispatch ~1 s so the
+    # relay's fixed latency stays ~2%
     mod = QPSK()
-    n = 512
+    n = 2048
 
     def ala_step(key, snr_linear):
         k1, k2, k3 = jax.random.split(key, 3)
@@ -239,7 +243,7 @@ def _bench_families(results, log):
             randn_c(k3, 1, n) * jnp.sqrt(1.0 / snr_linear)
         return count_bit_errors(data, mod.demodulate(obj.decode(rx)))
 
-    batch, iters = 512, 500
+    batch, iters = 1024, 2000
     run = _make_runner(ala_step, batch, iters)
     log("alamouti: compiling + warmup")
     run(_make_key(4), 10.0)
