@@ -528,6 +528,10 @@ class SimulationRunner:
         dispatch/await split of reference runner.py:1774-1886. Don't
         touch ``self.results`` until the wait returns.
         """
+        if getattr(self, "_parallel_thread", None) is not None:
+            raise RuntimeError(
+                "An asynchronous sweep is already running on this "
+                "runner; call wait_parallel_simulation() first")
         if mesh is None:
             from ..parallel.mesh import make_mesh
             mesh = make_mesh()

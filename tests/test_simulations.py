@@ -1119,6 +1119,25 @@ class TestAsyncParallelDispatch:
         r.wait_parallel_simulation()
         assert r.runned_reps == [10, 10, 10]
 
+    def test_second_async_dispatch_without_wait_rejected(self):
+        import threading
+
+        gate = threading.Event()
+
+        class Gated(_DummyBulkRunner):
+            def _on_simulate_start(self):
+                gate.wait(timeout=30)
+
+        r = Gated()
+        r.simulate_in_parallel(block=False)
+        try:
+            with pytest.raises(RuntimeError, match="already running"):
+                r.simulate_in_parallel(block=False)
+        finally:
+            gate.set()
+            r.wait_parallel_simulation()
+        assert r.runned_reps == [10, 10, 10]
+
 
 class TestDoubleBufferedDispatch:
     """VERDICT round-2 item 5: chunk k+1 is enqueued before chunk k's
