@@ -98,9 +98,16 @@ class TestParallelRunner:
 
 
 class TestGraftDryrun:
+    @pytest.mark.heavy  # the driver executes dryrun_multichip(8)
+    # separately every round and records MULTICHIP_r*.json; CI keeps
+    # the 2-device variant below for fast engine coverage
     def test_dryrun_multichip_8(self):
         import __graft_entry__ as g
         g.dryrun_multichip(8)
+
+    def test_dryrun_multichip_2(self):
+        import __graft_entry__ as g
+        g.dryrun_multichip(2)
 
     def test_entry_compiles(self):
         import __graft_entry__ as g
@@ -150,6 +157,7 @@ class TestTimeShardedChannel:
                                        np.asarray(ref_out.re[seg]),
                                        atol=2e-5)
 
+    @pytest.mark.heavy  # detail sibling of test_matches_unsharded
     def test_ir_matches_unsharded_blocks(self):
         from pyphysim_tpu.parallel import corrupt_data_time_sharded
         from pyphysim_tpu.utils.misc import randn_c
