@@ -519,9 +519,9 @@ def _eigh_jacobi(a: CArray, sweeps: int = 8):
     sc = (1.0 / jnp.maximum(amax, 1e-30))[..., None, None]
     a = CArray(a.re * sc, a.im * sc)
     eye_n = jnp.broadcast_to(jnp.eye(n, dtype=dt), batch + (n, n))
-    V = CArray(eye_n, jnp.zeros_like(eye_n))
-    A = a
-    for _ in range(sweeps):
+
+    def sweep(carry, _):
+        A, V = carry
         for pairs in _round_robin_pairs(n):
             g_re = eye_n
             g_im = jnp.zeros_like(eye_n)
@@ -557,6 +557,14 @@ def _eigh_jacobi(a: CArray, sweeps: int = 8):
         # quadratic convergence
         A = CArray(0.5 * (A.re + jnp.swapaxes(A.re, -1, -2)),
                    0.5 * (A.im - jnp.swapaxes(A.im, -1, -2)))
+        return (A, V), 0
+
+    # scan over sweeps: the body is identical each iteration, so this
+    # traces/compiles ONE sweep instead of `sweeps` copies — the
+    # unrolled version dominated test-suite compile times
+    (A, V), _ = jax.lax.scan(
+        sweep, (a, CArray(eye_n, jnp.zeros_like(eye_n))),
+        jnp.arange(sweeps))
     w = _diagonal(A.re) * amax[..., None]
     order = jnp.argsort(w, axis=-1)
     w = jnp.take_along_axis(w, order, axis=-1)
