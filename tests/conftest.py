@@ -26,18 +26,22 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
-# Persistent XLA compilation cache: the suite's cost is dominated by
-# compiles of heavily-unrolled solver programs (brute/greedy stream
-# search, BD chains), and they are identical run to run — caching them
-# cuts habitual re-runs from ~15 min to well under 10 (the round-2
-# VERDICT suite-runtime directive). The cache lives outside the repo
-# and is safe to delete at any time.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.expanduser("~"), ".cache",
-                 "pyphysim_tpu_test_xla_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# OPT-IN persistent XLA compilation cache (PYPHYSIM_XLA_CACHE=1): warm
+# re-runs of the compile-heavy solver tests get several times faster —
+# but it is NOT on by default, because this jax build's XLA:CPU AOT
+# loader intermittently SEGFAULTS deserializing large cached
+# executables (observed repeatedly on the Jacobi-eigh scan program,
+# crash inside compilation_cache.get_executable_and_time; the loader
+# itself warns about compile-vs-host machine-feature mismatches).
+# Stability of the default `pytest tests/` run outranks its speed.
+if os.environ.get("PYPHYSIM_XLA_CACHE") == "1":
+    _worker = os.environ.get("PYTEST_XDIST_WORKER", "gw0")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     f"pyphysim_tpu_test_xla_cache_{_worker}"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def pytest_report_header(config):

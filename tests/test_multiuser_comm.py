@@ -757,34 +757,35 @@ class TestBatchedExtIntBD:
              {"modulator": mod, "packet_length": 60}),
         ]
 
-    def test_enhanced_bd_matches_host_all_metrics(self):
+    @pytest.mark.parametrize("case_idx", range(5))
+    def test_enhanced_bd_matches_host_all_metrics(self, case_idx):
         from pyphysim_tpu.comm.batched import enhanced_bd_batched
+        metric, extra, kw = self._cases()[case_idx]
         for seed in (5, 9):
             mu, H, R, Hn, Rn = self._setup(seed)
-            for metric, extra, kw in self._cases():
-                host = EnhancedBD(self.K, self.IPU, self.NV, self.PE)
-                host.set_ext_int_handling_metric(metric, extra)
-                MsPk_h, Wk_h, Ns_h = \
-                    host.block_diagonalize_no_waterfilling(mu)
-                MsPk_d, Wk_d, Ns_d, sinr_d, valid = enhanced_bd_batched(
-                    H, R, self.K, self.IPU, metric=metric, **kw)
-                assert bool(np.asarray(valid))
-                np.testing.assert_array_equal(
-                    np.asarray(Ns_d), np.asarray(Ns_h, np.float32)), \
-                    (seed, metric)
-                for k in range(self.K):
-                    ns = int(Ns_h[k])
-                    dm = MsPk_d.to_numpy()[k][:, :ns]
-                    dw = Wk_d.to_numpy()[k][:ns, :]
-                    scale_m = max(1.0, np.abs(MsPk_h[k]).max())
-                    scale_w = max(1.0, np.abs(Wk_h[k]).max())
-                    assert np.abs(dm - MsPk_h[k]).max() / scale_m < 2e-2, \
-                        (seed, metric, k)
-                    assert np.abs(dw - Wk_h[k]).max() / scale_w < 2e-2, \
-                        (seed, metric, k)
-                    # padded (dropped) streams are exactly zero
-                    assert np.allclose(MsPk_d.to_numpy()[k][:, ns:], 0)
-                    assert np.allclose(Wk_d.to_numpy()[k][ns:, :], 0)
+            host = EnhancedBD(self.K, self.IPU, self.NV, self.PE)
+            host.set_ext_int_handling_metric(metric, extra)
+            MsPk_h, Wk_h, Ns_h = \
+                host.block_diagonalize_no_waterfilling(mu)
+            MsPk_d, Wk_d, Ns_d, sinr_d, valid = enhanced_bd_batched(
+                H, R, self.K, self.IPU, metric=metric, **kw)
+            assert bool(np.asarray(valid))
+            np.testing.assert_array_equal(
+                np.asarray(Ns_d), np.asarray(Ns_h, np.float32)), \
+                (seed, metric)
+            for k in range(self.K):
+                ns = int(Ns_h[k])
+                dm = MsPk_d.to_numpy()[k][:, :ns]
+                dw = Wk_d.to_numpy()[k][:ns, :]
+                scale_m = max(1.0, np.abs(MsPk_h[k]).max())
+                scale_w = max(1.0, np.abs(Wk_h[k]).max())
+                assert np.abs(dm - MsPk_h[k]).max() / scale_m < 2e-2, \
+                    (seed, metric, k)
+                assert np.abs(dw - Wk_h[k]).max() / scale_w < 2e-2, \
+                    (seed, metric, k)
+                # padded (dropped) streams are exactly zero
+                assert np.allclose(MsPk_d.to_numpy()[k][:, ns:], 0)
+                assert np.allclose(Wk_d.to_numpy()[k][ns:, :], 0)
 
     def test_enhanced_bd_sinrs_match_host_formula(self):
         from pyphysim_tpu.comm.batched import enhanced_bd_batched
