@@ -294,8 +294,10 @@ def _bench_families(results, log):
         # rare degenerate draws (~1e-5 of a 1e5-draw run) zero out
         # instead of NaN-poisoning the mean — the runner-path __valid__
         # skip semantics, inlined
-        return jnp.where(jnp.isfinite(cap) & (jnp.min(Sigma) > 1e-6),
-                         cap, 0.0)
+        # scale-RELATIVE degeneracy guard (library convention, see
+        # comm/batched.py _bd_conditioning_ok)
+        ok = jnp.min(Sigma) > 1e-6 * jnp.max(Sigma)
+        return jnp.where(jnp.isfinite(cap) & ok, cap, 0.0)
 
     batch, iters = 512, 500
     run = _make_runner_f(bd_step, batch, iters)

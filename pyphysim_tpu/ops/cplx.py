@@ -335,20 +335,32 @@ def _inv2x2(a: CArray) -> CArray:
     is a long serial chain of tiny kernels — for the 2x2 matrices that
     dominate the IA/MIMO hot loops the adjugate is ~an order of
     magnitude faster on TPU and exact in the same f32 model."""
-    a00, a01 = a[..., 0, 0], a[..., 0, 1]
-    a10, a11 = a[..., 1, 0], a[..., 1, 1]
+    # Scale-normalize by the max |entry| (same scheme as _eigh2x2) so
+    # the singularity guard below is scale-RELATIVE: the comp_BD-style
+    # scenarios run at ~1e-4 channel scales, where an absolute floor
+    # would silently zero out perfectly regular inverses (and at the
+    # other end, ~1e19-scale entries would overflow det).
+    amax = jnp.max(jnp.maximum(jnp.abs(a.re), jnp.abs(a.im)),
+                   axis=(-2, -1))
+    sc = (1.0 / jnp.maximum(amax, 1e-30))[..., None, None]
+    an = CArray(a.re * sc, a.im * sc)
+    a00, a01 = an[..., 0, 0], an[..., 0, 1]
+    a10, a11 = an[..., 1, 0], an[..., 1, 1]
     det = a00 * a11 - a01 * a10
     d2 = det.abs2()
-    # 1/det = conj(det)/|det|^2, guarded like the general path's LU
-    # (singular input -> inf/nan there too; callers mask). The floor
-    # must be a NORMAL f32 (1e-38 is subnormal and XLA CPU flushes it
-    # to 0, turning the guard into a no-op).
-    inv_re = det.re / jnp.maximum(d2, 1e-30)
-    inv_im = -det.im / jnp.maximum(d2, 1e-30)
-    inv_det = CArray(inv_re, inv_im)
+    # 1/det = conj(det)/|det|^2. A normalized matrix numerically
+    # singular in f32 (relative det below ~1e-6, i.e. condition beyond
+    # what an f32 adjugate can resolve) gets an INF reciprocal so the
+    # non-finite result propagates — matching the real-embedded LU,
+    # whose singular draws come out inf/nan and are caught by the
+    # isfinite-based ``__valid__`` masks downstream.
+    inv_mag = jnp.where(d2 > 1e-12, 1.0 / jnp.maximum(d2, 1e-30), jnp.inf)
+    inv_det = CArray(det.re * inv_mag, -det.im * inv_mag)
     row0 = stack([a11 * inv_det, -a01 * inv_det], axis=-1)
     row1 = stack([-a10 * inv_det, a00 * inv_det], axis=-1)
-    return stack([row0, row1], axis=-2)
+    out = stack([row0, row1], axis=-2)
+    # inv(a) = inv(a_normalized) / amax
+    return CArray(out.re * sc, out.im * sc)
 
 
 def solve(a: CArray, b: CArray) -> CArray:
@@ -366,9 +378,11 @@ def solve(a: CArray, b: CArray) -> CArray:
         b = CArray(b.re[..., None], b.im[..., None])
     n = a.shape[-1]
     if n == 1:
-        d2 = jnp.maximum(a.abs2(), 1e-30)          # (..., 1, 1)
-        x = CArray((b.re * a.re + b.im * a.im) / d2,
-                   (b.im * a.re - b.re * a.im) / d2)
+        d2 = a.abs2()                              # (..., 1, 1)
+        # a == 0 -> inf, so finiteness-based validity masks catch it.
+        im = jnp.where(d2 > 0.0, 1.0 / jnp.maximum(d2, 1e-30), jnp.inf)
+        x = CArray((b.re * a.re + b.im * a.im) * im,
+                   (b.im * a.re - b.re * a.im) * im)
     elif n == 2:
         x = matmul(_inv2x2(a), b)
     else:
@@ -386,8 +400,9 @@ def inv(a: CArray) -> CArray:
     a = _coerce(a)
     n = a.shape[-1]
     if n == 1:
-        d2 = jnp.maximum(a.abs2(), 1e-30)
-        return CArray(a.re / d2, -a.im / d2)
+        d2 = a.abs2()
+        im = jnp.where(d2 > 0.0, 1.0 / jnp.maximum(d2, 1e-30), jnp.inf)
+        return CArray(a.re * im, -a.im * im)
     if n == 2:
         return _inv2x2(a)
     m = jnp.linalg.inv(_embed(a))

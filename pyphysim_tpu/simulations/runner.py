@@ -528,10 +528,16 @@ class SimulationRunner:
         dispatch/await split of reference runner.py:1774-1886. Don't
         touch ``self.results`` until the wait returns.
         """
-        if getattr(self, "_parallel_thread", None) is not None:
-            raise RuntimeError(
-                "An asynchronous sweep is already running on this "
-                "runner; call wait_parallel_simulation() first")
+        thread = getattr(self, "_parallel_thread", None)
+        if thread is not None:
+            if thread.is_alive():
+                raise RuntimeError(
+                    "An asynchronous sweep is already running on this "
+                    "runner; call wait_parallel_simulation() first")
+            # The previous sweep already finished — auto-join it (and
+            # surface any error it stored) instead of forcing an
+            # explicit wait for a dead thread.
+            self.wait_parallel_simulation()
         if mesh is None:
             from ..parallel.mesh import make_mesh
             mesh = make_mesh()

@@ -136,6 +136,32 @@ class TestLinalg:
         assert np.allclose(cplx.inv(as_c(a)).to_numpy(), np.linalg.inv(a),
                            atol=1e-3)
 
+    def test_inv2x2_scale_invariant(self):
+        # The closed-form 2x2 path normalizes by the max |entry|, so
+        # tiny- and huge-scale well-conditioned inputs invert exactly —
+        # the comp_BD scenarios run at ~1e-4 channel scales, and an
+        # absolute determinant floor would zero them out silently.
+        base = rand_c((2, 2), 7) + 2 * np.eye(2)
+        for scale in (1e-8, 1e-4, 1.0, 1e6, 1e12):
+            a = (base * scale).astype(np.complex64)
+            got = cplx.inv(as_c(a)).to_numpy()
+            assert np.allclose(got, np.linalg.inv(a.astype(np.complex128)),
+                               rtol=1e-3), scale
+
+    def test_inv2x2_singular_propagates_nonfinite(self):
+        # Singular (and numerically singular) 2x2 draws must come out
+        # NON-finite so isfinite-based __valid__ masks catch them, like
+        # the general real-embedded LU path — NOT as a finite garbage
+        # inverse that silently skews Monte Carlo statistics.
+        col = rand_c((2, 1), 8)
+        sing = np.concatenate([col, 2.0 * col], axis=1)  # rank 1
+        for scale in (1e-6, 1.0, 1e6):
+            got = cplx.inv(as_c(sing * scale)).to_numpy()
+            assert not np.isfinite(got).all(), scale
+        # 1x1 zero likewise
+        z = cplx.inv(as_c(np.zeros((1, 1), np.complex64))).to_numpy()
+        assert not np.isfinite(z).all()
+
     def test_eigh(self):
         x = rand_c((4, 4), 6)
         h = x @ x.conj().T + np.eye(4)

@@ -529,9 +529,20 @@ class TestGreedyStreamSearch:
         assert mask.sum() >= 3         # never below one stream... total
         # every user keeps at least one stream
         assert (mask.sum(axis=-1) >= 1).all()
-        # the returned best capacity is the trajectory maximum
-        assert np.isclose(caps.max(), caps[-1], rtol=1e-6) or \
-            caps.max() >= caps[0]
+        # trajectory contract: accepted deletions never decrease the
+        # capacity, so caps is non-decreasing up to its maximum...
+        imax = int(caps.argmax())
+        assert (np.diff(caps[: imax + 1]) >= -1e-5 * caps.max()).all()
+        # ...and everything after the max is the single rejected,
+        # rolled-back deletion value repeated by the frozen steps
+        # (docstring: the last entry is NOT the best on rejection)
+        tail = caps[imax + 1:]
+        assert np.allclose(tail, caps[-1], rtol=1e-6)
+        assert caps[-1] <= caps.max() + 1e-6 * abs(caps.max())
+        # the returned (F, U, mask) achieve the trajectory maximum
+        from pyphysim_tpu.ia.batched import _masked_sinrs, sum_capacity
+        achieved = float(sum_capacity(_masked_sinrs(H, F, U, 0.1, 1.0)))
+        assert np.isclose(achieved, caps.max(), rtol=1e-4)
         # deleted precoder/filter columns are exactly zero
         Fn, Un = F.to_numpy(), U.to_numpy()
         for k in range(3):
