@@ -63,6 +63,64 @@ def _user_rows(H: CArray, k: int, nr_u: int) -> CArray:
     return H[..., k * nr_u:(k + 1) * nr_u, :]
 
 
+def _stream_null_blocks(H: CArray, K: int):
+    """Per-user stream-aligned orthonormal null-space blocks, DESCENDING
+    effective-singular-value order — the [Spencer2004] factors of
+    reference blockdiagonalization.py:272-363, computed WITHOUT any
+    full-matrices SVD.
+
+    The reference (and the round-3 device code) finds the null space of
+    the other users' stacked rows ``tilde_H_k`` as the trailing right
+    singular vectors of a FULL SVD, then runs a second SVD inside the
+    null space to align streams. Both SVDs ride multi-sweep Jacobi
+    eigendecompositions on device. This route gets the same factors from
+    closed forms:
+
+    1. project: ``T_k = H_k (I - tilde_H^H B^{-1} tilde_H)`` with
+       ``B = tilde_H tilde_H^H`` inverted by recursive Schur blocks
+       (:func:`~..ops.cplx.hpd_inv`) — ``T_k``'s row space IS the part
+       of the null space visible to user k;
+    2. the top right-singular vectors of ``T_k`` come from the SMALL
+       Gram side ``T_k T_k^H`` (nr_u x nr_u — closed-form eigh at 2x2):
+       ``V = T^H U diag(1/s)`` is orthonormal, lies in the null space,
+       and satisfies ``H_k V = U diag(s)`` — simultaneously the
+       null-space basis AND the stream alignment.
+
+    Returns ``(blocks, sigmas, geom)``: per user a (..., Nt_total, r)
+    block with DESCENDING (..., r) singular values, where
+    ``r = min(Nr_u, nS)`` is the generic stream count, and the
+    ``(nr_u, nS)`` geometry tuple.
+    """
+    nr_tot, nt_tot = H.shape[-2], H.shape[-1]
+    if nr_tot % K:
+        raise ValueError("channel rows must divide by the user count")
+    nr_u = nr_tot // K
+    nS = nt_tot - (K - 1) * nr_u
+    if nS <= 0:
+        raise ValueError(
+            f"No null-space dimensions left: Nt_total={nt_tot} <= "
+            f"(K-1)*Nr_u={(K - 1) * nr_u}")
+    r = min(nr_u, nS)
+    blocks, sigmas = [], []
+    for k in range(K):
+        tilde_H = _other_rows(H, k, nr_u)            # (m, Nt), m=(K-1)Nr_u
+        Hk = _user_rows(H, k, nr_u)
+        B = cplx.matmul(tilde_H, tilde_H.mH)         # (m, m) HPD Gram
+        X = cplx.matmul(cplx.hpd_inv(B), tilde_H)    # B^{-1} tilde_H
+        # T = Hk - (Hk tilde_H^H) X  ==  Hk P_null(tilde_H)
+        T = Hk - cplx.matmul(cplx.matmul(Hk, tilde_H.mH), X)
+        G = cplx.matmul(T, T.mH)                     # (nr_u, nr_u) HPSD
+        w, U = cplx.eigh(G)                          # ascending
+        w = jnp.flip(w, axis=-1)[..., :r]
+        U = _flip_cols(U)[..., :, :r]
+        s = jnp.sqrt(jnp.clip(w, 0.0))
+        s_safe = jnp.maximum(s, 1e-30)[..., None, :]
+        V = cplx.matmul(T.mH, U)                     # (Nt, r)
+        blocks.append(CArray(V.re / s_safe, V.im / s_safe))
+        sigmas.append(s)
+    return blocks, sigmas, (nr_u, nS)
+
+
 def _other_rows(H: CArray, k: int, nr_u: int) -> CArray:
     parts = []
     if k > 0:
@@ -106,29 +164,16 @@ def bd_precoders_batched(H: CArray, num_users: int, iPu: float,
     singular values before power loading.
     """
     K = int(num_users)
-    nr_tot, nt_tot = H.shape[-2], H.shape[-1]
-    if nr_tot % K != 0:
+    if H.shape[-2] % K != 0:
         raise ValueError(
             "Number of rows of the channel must be a multiple of the "
             "number of users.")
-    nr_u = nr_tot // K
-    nS = nt_tot - (K - 1) * nr_u
-    if nS <= 0:
-        raise ValueError(
-            f"No null-space dimensions left: Nt_total={nt_tot} <= "
-            f"(K-1)*Nr_u={(K - 1) * nr_u}")
-    kept = nS - max(nr_u - nS, 0)  # streams surviving the second SVD
-
-    ms_blocks = []
-    sig_blocks = []
-    for k in range(K):
-        tilde_H = _other_rows(H, k, nr_u)
-        _, _, vh = cplx.svd(tilde_H, full_matrices=True)
-        tilde_V0 = vh.mH[..., :, nt_tot - nS:]       # null-space basis
-        A = cplx.matmul(_user_rows(H, k, nr_u), tilde_V0)
-        _, s1, v1h = cplx.svd(A)                      # descending
-        ms_blocks.append(cplx.matmul(tilde_V0, v1h.mH[..., :, :kept]))
-        sig_blocks.append(s1[..., :kept])
+    blocks, sigmas, (nr_u, nS) = _stream_null_blocks(H, K)
+    # streams surviving the reference's second SVD (its thin-SVD factor
+    # caps the count at min(nr_u, nS) implicitly)
+    kept = min(nS - max(nr_u - nS, 0), min(nr_u, nS))
+    ms_blocks = [b[..., :, :kept] for b in blocks]
+    sig_blocks = [s[..., :kept] for s in sigmas]
     Ms_bad = cplx.concatenate(ms_blocks, axis=-1)     # (..., Nt, K*kept)
     Sigma = jnp.concatenate(sig_blocks, axis=-1)      # (..., K*kept)
 
@@ -247,23 +292,9 @@ def bd_blocks_no_power_batched(H: CArray, num_users: int):
     (..., Nt_total, nS) block and its (..., nS) ascending singular
     values. Generic full-rank case (``nS = Nt_total - (K-1) Nr_u``)."""
     K = int(num_users)
-    nr_tot, nt_tot = H.shape[-2], H.shape[-1]
-    if nr_tot % K:
-        raise ValueError("channel rows must divide by the user count")
-    nr_u = nr_tot // K
-    nS = nt_tot - (K - 1) * nr_u
-    if nS <= 0:
-        raise ValueError("no null-space dimensions left")
-    blocks, sigmas = [], []
-    for k in range(K):
-        tilde_H = _other_rows(H, k, nr_u)
-        _, _, vh = cplx.svd(tilde_H, full_matrices=True)
-        tilde_V0 = vh.mH[..., :, nt_tot - nS:]       # null-space basis
-        A = cplx.matmul(_user_rows(H, k, nr_u), tilde_V0)
-        _, s1, v1h = cplx.svd(A)                      # descending
-        blk = cplx.matmul(tilde_V0, _flip_cols(v1h.mH))
-        blocks.append(_canonicalize_phases(blk))
-        sigmas.append(jnp.flip(s1, axis=-1))
+    desc_blocks, desc_sigmas, _ = _stream_null_blocks(H, K)
+    blocks = [_canonicalize_phases(_flip_cols(b)) for b in desc_blocks]
+    sigmas = [jnp.flip(s, axis=-1) for s in desc_sigmas]
     return blocks, sigmas
 
 

@@ -69,20 +69,28 @@ def doWF_jit(gains: jnp.ndarray, total_power: float,
     """
     gains = jnp.asarray(gains)
     n = gains.shape[-1]
-    g_sorted = jnp.sort(gains, axis=-1)[..., ::-1]
-    inv = noise_var / g_sorted                         # (..., n)
-    cum_inv = jnp.cumsum(inv, axis=-1)
-    k = jnp.arange(1, n + 1)
-    # water level if the top-k channels are kept:
-    mu_k = (total_power + cum_inv) / k                  # (..., n)
-    # feasible if the k-th channel still gets nonnegative power
-    feasible = mu_k >= inv
+    inv = noise_var / gains                             # (..., n)
+    # Stable ascending RANK of each 1/gain via pairwise comparisons
+    # (ties broken by index): no sort, no argsort, no take_along_axis —
+    # gathers are extremely slow on TPU, and for the n <= ~16 stream
+    # counts here the O(n^2) comparison mask is a handful of VPU ops.
+    idx = jnp.arange(n)
+    lt = inv[..., None, :] < inv[..., :, None]          # inv_j < inv_i
+    tie = (inv[..., None, :] == inv[..., :, None]) & (idx < idx[:, None])
+    rank = jnp.sum(lt | tie, axis=-1)                   # (..., n) 0..n-1
+    # keeping the k+1 best channels (smallest 1/gain):
+    keep = rank[..., None, :] <= idx[:, None]           # (..., k, i)
+    cum_inv = jnp.sum(jnp.where(keep, inv[..., None, :], 0.0), axis=-1)
+    at_k = rank[..., None, :] == idx[:, None]
+    worst_inv = jnp.sum(jnp.where(at_k, inv[..., None, :], 0.0), axis=-1)
+    # water level if the k+1 best channels are kept:
+    mu_k = (total_power + cum_inv) / (idx + 1.0)        # (..., n)
+    # feasible if the worst kept channel still gets nonnegative power
+    feasible = mu_k >= worst_inv
     # the optimum keeps as many channels as possible
     kept = jnp.sum(feasible, axis=-1)                   # (...,)
-    mu = jnp.take_along_axis(mu_k, (kept - 1)[..., None], axis=-1)[..., 0]
-    powers_sorted = jnp.maximum(mu[..., None] - inv, 0.0)
-    # unsort back to the original channel order
-    order = jnp.argsort(-gains, axis=-1)
-    inv_order = jnp.argsort(order, axis=-1)
-    powers = jnp.take_along_axis(powers_sorted, inv_order, axis=-1)
+    mu = jnp.sum(mu_k * jax.nn.one_hot(kept - 1, n, dtype=mu_k.dtype),
+                 axis=-1)
+    # powers come straight from the water level — no unsort needed
+    powers = jnp.maximum(mu[..., None] - inv, 0.0)
     return powers, mu

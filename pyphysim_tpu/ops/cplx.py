@@ -409,6 +409,40 @@ def inv(a: CArray) -> CArray:
     return CArray(m[..., :n, :n], m[..., n:, :n])
 
 
+def hpd_inv(a: CArray) -> CArray:
+    """Inverse of a Hermitian POSITIVE-DEFINITE matrix via recursive
+    2x2-block Schur complements.
+
+    ``[[A, B], [B^H, D]]^-1 = [[Ai + AiB S^-1 AiB^H, -AiB S^-1],
+    [-S^-1 AiB^H, S^-1]]`` with ``Ai = A^-1``, ``AiB = Ai B`` and the
+    Schur complement ``S = D - B^H AiB`` (itself HPD), recursing until
+    the closed-form ``n <= 2`` adjugate. Everything is batched matmuls
+    and elementwise VPU arithmetic — no LU pivoting chain, no eigh
+    sweeps — which is why the BD hot path uses it to invert the
+    ``tilde_H tilde_H^H`` Gram instead of a full-matrices SVD
+    (reference blockdiagonalization.py:272-363 takes the SVD route).
+    Only valid for HPD input: an indefinite matrix can have a singular
+    leading block even when invertible.
+    """
+    a = _coerce(a)
+    n = a.shape[-1]
+    if n <= 2:
+        return inv(a)
+    m = n // 2
+    A = a[..., :m, :m]
+    B = a[..., :m, m:]
+    D = a[..., m:, m:]
+    Ai = hpd_inv(A)
+    AiB = matmul(Ai, B)
+    S = D - matmul(B.mH, AiB)
+    Si = hpd_inv(S)
+    TR = -matmul(AiB, Si)                      # top-right block
+    TL = Ai - matmul(TR, AiB.mH)               # Ai + AiB Si AiB^H
+    top = concatenate([TL, TR], axis=-1)
+    bot = concatenate([TR.mH, Si], axis=-1)
+    return concatenate([top, bot], axis=-2)
+
+
 def pinv(a: CArray, rcond: float = 1e-3, refine: int = 2) -> CArray:
     """Moore-Penrose pseudo-inverse via the complex SVD.
 

@@ -136,6 +136,22 @@ class TestLinalg:
         assert np.allclose(cplx.inv(as_c(a)).to_numpy(), np.linalg.inv(a),
                            atol=1e-3)
 
+    def test_hpd_inv(self):
+        # recursive Schur-block inverse vs numpy, odd and even sizes,
+        # batched, and at a small channel scale
+        for n in (1, 2, 3, 4, 5, 6, 8):
+            x = rand_c((2, n, n), 20 + n)
+            a = (x @ x.conj().swapaxes(-2, -1) +
+                 0.5 * np.eye(n)).astype(np.complex64)
+            got = cplx.hpd_inv(as_c(a)).to_numpy()
+            want = np.linalg.inv(a.astype(np.complex128))
+            assert np.allclose(got, want, rtol=2e-3, atol=2e-3), n
+        sm = (1e-4 * (rand_c((4, 4), 31) @ rand_c((4, 4), 31).conj().T
+                      + 2 * np.eye(4))).astype(np.complex64)
+        got = cplx.hpd_inv(as_c(sm)).to_numpy()
+        assert np.allclose(got, np.linalg.inv(sm.astype(np.complex128)),
+                           rtol=2e-3)
+
     def test_inv2x2_scale_invariant(self):
         # The closed-form 2x2 path normalizes by the max |entry|, so
         # tiny- and huge-scale well-conditioned inputs invert exactly —
