@@ -299,7 +299,10 @@ def _bench_families(results, log):
         ok = jnp.min(Sigma) > 1e-6 * jnp.max(Sigma)
         return jnp.where(jnp.isfinite(cap) & ok, cap, 0.0)
 
-    batch, iters = 512, 500
+    # batch swept on v5e after the round-4 projector-route rewrite:
+    # 512 -> 7.9e5 solves/s, 4096 -> 8.7e5 (bigger batch amortizes the
+    # per-op launch overheads of the unfused small-matrix chain)
+    batch, iters = 4096, 500
     run = _make_runner_f(bd_step, batch, iters)
     log("bd: compiling + warmup")
     run(_make_key(8), 0.0)
