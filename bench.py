@@ -172,6 +172,87 @@ def _bench_pallas_kernel(results, log):
     log(f"pallas: {results['value']:.3e} sym/s")
 
 
+def _bench_engine(results, log):
+    """Engine-in-the-loop: the SAME Pallas Monte Carlo kernel driven by
+    the ACTUAL SimulationRunner bulk path (``_gen_bulk_kernel`` ->
+    ``_bulk_loop``: chunked dispatch with the absolute attempt cursor,
+    double-buffered speculation, checkpoint throttle ON, early stop off)
+    instead of a hand-rolled scan. Reports engine-inclusive sym/s next
+    to the raw-kernel headline; the double-buffer contract
+    (runner.py:997-1016) is what must hide the relay's fixed ~24 ms
+    per-dispatch latency — the reference makes the analogous claim for
+    its engine, runner.py:1700-1736."""
+    import shutil
+    import tempfile
+
+    from pyphysim_tpu.channels.fading import COST259_TUx, TdlChannel
+    from pyphysim_tpu.channels.fading_generators import JakesSampleGenerator
+    from pyphysim_tpu.modulators import OFDM
+    from pyphysim_tpu.ops.mc_pallas import MonteCarloOfdmTdl
+    from pyphysim_tpu.simulations import Result, SimulationRunner
+
+    tile, nt, bsize, rep_max = 1024, 4, 2048, 32768
+    ofdm = OFDM(512, 52, 300)
+    jakes = JakesSampleGenerator(Fd=30.0, Ts=1.0 / 20e6, L=16)
+    mc = MonteCarloOfdmTdl(ofdm, TdlChannel(jakes, COST259_TUx), M=16,
+                           tile=tile, matmul_dtype=jnp.bfloat16)
+    # ONE compiled program reused by every runner instance below (the
+    # bulk loop always dispatches full bsize chunks when no stop
+    # criterion is set, so a single shape suffices)
+    run = mc.build(bsize, nt)
+    bits_per_rep = nt * tile * 300 * 4
+    snr = 10 ** 1.5
+
+    class _EngineBench(SimulationRunner):
+        def __init__(self, rep_max):
+            super().__init__(read_command_line_args=False)
+            self.params.add("SNR", np.array([15.0]))
+            self.params.set_unpack_parameter("SNR")
+            self.rep_max = rep_max
+            self.batch_size = bsize
+            self.update_progress_function_style = None
+            self.batch_result_types = {"bit_errors": Result.SUMTYPE,
+                                       "ber": Result.RATIOTYPE}
+
+        def _gen_bulk_kernel(self, p):
+            def bulk(start, n):
+                assert n == bsize, n
+                counts = jnp.sum(run(jnp.int32(29), jnp.float32(snr),
+                                     jnp.int32(start)), axis=1)
+                return {"bit_errors": counts,
+                        "ber": (counts.astype(jnp.float32),
+                                np.full(n, float(bits_per_rep)))}
+
+            return bulk
+
+    tmp = tempfile.mkdtemp(prefix="bench_engine_")
+    try:
+        log("engine: compiling + warmup (one chunk)")
+        warm = _EngineBench(bsize)
+        warm.update_progress_function_style = None
+        warm.simulate()
+
+        bench = _EngineBench(rep_max)
+        bench.set_results_filename(tmp + "/engine_bench")
+        bench.partial_results_folder = tmp + "/partial"
+        t0 = time.perf_counter()
+        bench.simulate()
+        dt = time.perf_counter() - t0
+        ber = float(bench.results.get_result_values_list("ber")[0])
+        lo, hi = BER_CORNERS[15.0]
+        assert lo < ber < hi, f"implausible engine BER {ber}"
+        rate = rep_max * nt * tile * 300 / dt
+        results["engine_sym_s"] = rate
+        if results.get("value"):
+            results["engine_frac_of_kernel"] = rate / results["value"]
+            log(f"engine: {rate:.3e} sym/s "
+                f"({100 * rate / results['value']:.1f}% of raw kernel)")
+        else:
+            log(f"engine: {rate:.3e} sym/s")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Secondary-family plausibility brackets (empirical, wide enough for MC
 # noise at these sample sizes, tight enough to catch an elided chain or
 # a precision regression):
@@ -350,6 +431,14 @@ def bench_ofdm_tdl():
         log(f"pallas kernel stage failed ({exc!r}); "
             "falling back to XLA fused headline")
 
+    # ---- engine-in-the-loop (SimulationRunner bulk path) -------------
+    try:
+        _bench_engine(results, log)
+    except AssertionError:
+        raise  # a BER regression through the engine is a hard failure
+    except Exception as exc:  # pragma: no cover - hardware-dependent
+        log(f"engine stage failed ({exc!r}); headline metrics kept")
+
     # ---- fused diag-collapse path (headline) -------------------------
     # batch x num_symbols tuned on v5e: 512 x 4800 (10.7 Gsym/s with the
     # diag collapse). iters amortizes the relay's fixed ~24 ms
@@ -434,6 +523,8 @@ def main() -> None:
         "ber_corners": {k: v for k, v in r.items()
                         if k.startswith("ber_")},
         "sharded_1dev_identical": r.get("sharded_1dev_identical"),
+        "engine_sym_s": r.get("engine_sym_s"),
+        "engine_frac_of_kernel": r.get("engine_frac_of_kernel"),
         "families": {k: r[k] for k in
                      ("alamouti_sym_s", "alamouti_ber_10dB",
                       "ia_maxsinr_solves_s", "bd_solves_s") if k in r},

@@ -226,9 +226,11 @@ def bd_receive_filter_batched(newH: CArray) -> CArray:
 # candidates, receive filters, SINRs and the sacrifice metric — is one
 # jit/vmap-able program, so a Monte Carlo sweep runs thousands of
 # realizations per dispatch instead of one numpy solve per repetition.
-# Shapes are static (symmetric square per-user blocks, the scenario of
-# apps/comp_BD); degenerate draws surface through the returned validity
-# mask (the runner's ``__valid__`` skip-and-retry contract).
+# Shapes are static; the stream-sacrifice family needs
+# ``Nt_total >= K * Nr_u`` (every user keeps Nr_u streams — the square
+# apps/comp_BD geometry and any taller Nt_u > Nr_u variant); degenerate
+# draws surface through the returned validity mask (the runner's
+# ``__valid__`` skip-and-retry contract).
 
 def _flip_cols(x: CArray) -> CArray:
     return CArray(jnp.flip(x.re, axis=-1), jnp.flip(x.im, axis=-1))
@@ -381,24 +383,28 @@ def enhanced_bd_batched(H: CArray, R: CArray, num_users: int, iPu: float,
     vmaps.
 
     ``H``: (..., K*Nr_u, Nt_total) joint channel (no ext-int columns);
-    ``R``: (..., K, Nr_u, Nr_u) ext-int+noise covariances. Requires the
-    symmetric square scenario ``Nt_u == Nr_u`` (apps/comp_BD geometry).
+    ``R``: (..., K, Nr_u, Nr_u) ext-int+noise covariances. Requires
+    ``Nt_total >= K * Nr_u`` (each user keeps ``Nr_u`` BD streams —
+    the square apps/comp_BD geometry and every taller Nt_u > Nr_u
+    variant; the covariance-derived reduction basis lives in the
+    per-user stream space, which must match the covariance dimension).
 
     Returns ``(MsPk, Wk, Ns, sinrs, valid)``: zero-padded per-user
-    precoders (..., K, Nt_total, Nt_u), receive filters
-    (..., K, Nt_u, Nr_u), selected stream counts (..., K), per-stream
-    SINRs (..., K, Nt_u) (0 for dropped streams), and a validity mask
+    precoders (..., K, Nt_total, Nr_u), receive filters
+    (..., K, Nr_u, Nr_u), selected stream counts (..., K), per-stream
+    SINRs (..., K, Nr_u) (0 for dropped streams), and a validity mask
     for degenerate draws."""
     from ..subspace.projections import calcProjectionMatrix
 
     K = int(num_users)
     nr_tot, nt_tot = H.shape[-2], H.shape[-1]
     nr_u = nr_tot // K
-    ntk = nt_tot - (K - 1) * nr_u
-    if ntk != nr_u:
+    nS = nt_tot - (K - 1) * nr_u          # generic null-space dimension
+    if nS < nr_u:
         raise ValueError(
-            "enhanced_bd_batched requires square per-user blocks "
-            f"(Nt_u == Nr_u), got nS={ntk}, Nr_u={nr_u}")
+            "enhanced_bd_batched needs Nt_total >= K*Nr_u so every user "
+            f"keeps Nr_u streams; got null dim nS={nS} < Nr_u={nr_u}")
+    ntk = nr_u  # per-user stream count (candidate loop runs 1..ntk)
     if metric in ("fixed", "naive") and not 1 <= num_streams <= ntk:
         raise ValueError(f"num_streams must be in 1..{ntk}")
     dt = H.re.dtype

@@ -116,13 +116,29 @@ class BlockDiagonalizer:
         iNrU = iNr // self.num_users
         Ms_bad = []
         Sigma: List[float] = []
+        self._last_stream_widths = []
         for user in range(self.num_users):
             tilde_H = self._get_tilde_channel(H, user)
-            nStreams = iNr - np.linalg.matrix_rank(tilde_H)
-            tilde_V0 = least_right_singular_vectors(tilde_H, nStreams)[0]
+            # Null-space dimension of the other users' stacked rows. The
+            # reference computes ``iNr - rank`` (blockdiagonalization.py
+            # :335-338), which equals ``Nt_total - rank`` in its square
+            # Nt_u == Nr_u scenario; the Nt_total form is the one that
+            # stays the actual null dimension for non-square geometries
+            # (Nt_u > Nr_u), where the precoder may then pick the best
+            # ``Nr_u`` stream directions from the WHOLE null space
+            # instead of an arbitrary LAPACK-basis-dependent subspace.
+            null_dim = H.shape[1] - np.linalg.matrix_rank(tilde_H)
+            if null_dim <= 0:
+                raise ValueError(
+                    "No null-space dimensions left for user "
+                    f"{user}: Nt_total={H.shape[1]} <= "
+                    f"rank(tilde_H)={H.shape[1] - null_dim}")
+            tilde_V0 = least_right_singular_vectors(tilde_H, null_dim)[0]
             H_user = self._get_sub_channel(H, user)
+            kept = min(iNrU, null_dim)
             _, V1, S = least_right_singular_vectors(
-                H_user @ tilde_V0, iNrU - nStreams)
+                H_user @ tilde_V0, null_dim - kept)
+            self._last_stream_widths.append(V1.shape[1])
             # Canonical per-column phase (largest-|entry| pivot made real
             # positive): the SVD's phase freedom is physically meaningful
             # once EnhancedBD mixes these columns through the ext-int
@@ -170,14 +186,16 @@ class BlockDiagonalizer:
 
     def block_diagonalize_no_waterfilling(
             self, mtChannel) -> Tuple[np.ndarray, np.ndarray]:
-        """BD with equal per-BS power (blockdiagonalization.py:510-565)."""
+        """BD with equal per-BS power (blockdiagonalization.py:510-565).
+        Per-user column blocks are the actual stream widths (== Nt_u in
+        the reference's square scenario)."""
         H = _as_np(mtChannel)
-        iNtU = H.shape[1] // self.num_users
         Ms_bad, _ = self._calc_BD_matrix_no_power_scaling(H)
+        width = Ms_bad.shape[1] // self.num_users
         Ms_good = np.empty_like(Ms_bad)
         for user in range(self.num_users):
-            um = Ms_bad[:, user * iNtU:(user + 1) * iNtU]
-            Ms_good[:, user * iNtU:(user + 1) * iNtU] = \
+            um = Ms_bad[:, user * width:(user + 1) * width]
+            Ms_good[:, user * width:(user + 1) * width] = \
                 um * np.sqrt(self.iPu) / np.linalg.norm(um, "fro")
         return H @ Ms_good, Ms_good
 
@@ -228,11 +246,14 @@ class WhiteningBD(BDWithExtIntBase):
     @staticmethod
     def _calc_receive_filter_with_whitening(
             newH: np.ndarray, whitening_filter: np.ndarray,
-            Nr: np.ndarray, Nt: np.ndarray) -> np.ndarray:
+            Nr: np.ndarray, widths: np.ndarray) -> np.ndarray:
         K = Nr.size
         big_W = BlockDiagonalizer.calc_receive_filter(newH) @ \
             whitening_filter
-        aux = single_matrix_to_matrix_of_matrices(big_W, Nr, Nt)
+        # big_W rows are STREAMS (per-user widths; == Nt in the
+        # reference's square scenario, blockdiagonalization.py:769-779),
+        # columns are receive antennas
+        aux = single_matrix_to_matrix_of_matrices(big_W, widths, Nr)
         Wk_all = np.empty(K, dtype=np.ndarray)
         for k in range(K):
             Wk_all[k] = aux[k, k]
@@ -240,16 +261,19 @@ class WhiteningBD(BDWithExtIntBase):
 
     def block_diagonalize_no_waterfilling(  # type: ignore[override]
             self, mu_channel) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        Nr, Nt = mu_channel.Nr, mu_channel.Nt
+        Nr = mu_channel.Nr
         H = _as_np(mu_channel.big_H_no_ext_int)
         whitening_all_k = self.calc_whitening_matrices(mu_channel)
         big_whitening = block_diag(*whitening_all_k)
         newH, Ms = BlockDiagonalizer.block_diagonalize_no_waterfilling(
             self, big_whitening @ H)
-        Ms_all = single_matrix_to_matrix_of_matrices(Ms, None, Nt)
+        # per-user column blocks by the ACTUAL stream widths (== Nt in
+        # the reference's square scenario; min(Nr_u, null_dim) generally)
+        widths = np.asarray(self._last_stream_widths)
+        Ms_all = single_matrix_to_matrix_of_matrices(Ms, None, widths)
         Wk_all = self._calc_receive_filter_with_whitening(
-            newH, big_whitening, Nr, Nt)
-        return Ms_all, Wk_all, Nt.copy()
+            newH, big_whitening, Nr, widths)
+        return Ms_all, Wk_all, widths.copy()
 
 
 class EnhancedBD(BDWithExtIntBase):
@@ -332,35 +356,40 @@ class EnhancedBD(BDWithExtIntBase):
     # -- the three solver branches ----------------------------------------
 
     def _perform_BD_no_waterfilling_no_stream_reduction(self, mu_channel):
-        K, Nr, Nt = mu_channel.K, mu_channel.Nr, mu_channel.Nt
+        K, Nr = mu_channel.K, mu_channel.Nr
         newH, Ms_good = BlockDiagonalizer.block_diagonalize_no_waterfilling(
             self, _as_np(mu_channel.big_H_no_ext_int))
-        MsPk = single_matrix_to_matrix_of_matrices(Ms_good, None, Nt)
-        newH_blocks = single_matrix_to_matrix_of_matrices(newH, Nr, Nt)
+        # split by the ACTUAL per-user stream widths (== Nt in the
+        # reference's square scenario, blockdiagonalization.py:1139-1201)
+        widths = np.asarray(self._last_stream_widths)
+        MsPk = single_matrix_to_matrix_of_matrices(Ms_good, None, widths)
+        newH_blocks = single_matrix_to_matrix_of_matrices(newH, Nr, widths)
         Wk_all = np.empty(K, dtype=np.ndarray)
         for k in range(K):
             Wk_all[k] = self.calc_receive_filter_user_k(
                 newH_blocks[k, k], None)
-        return MsPk, Wk_all, Nt.copy()
+        return MsPk, Wk_all, widths.copy()
 
     def _perform_BD_no_waterfilling_fixed_or_naive_reduction(
             self, mu_channel):
-        K, Nr, Nt = mu_channel.K, mu_channel.Nr, mu_channel.Nt
+        K, Nr = mu_channel.K, mu_channel.Nr
         H = _as_np(mu_channel.big_H_no_ext_int)
         Re = mu_channel.calc_cov_matrix_extint_plus_noise(self.pe)
         Ms_bad, _ = self._calc_BD_matrix_no_power_scaling(H)
-        Ms_ks = single_matrix_to_matrix_of_matrices(Ms_bad, None, Nt)
+        widths = np.asarray(self._last_stream_widths)
+        Ms_ks = single_matrix_to_matrix_of_matrices(Ms_bad, None, widths)
         H_ks = single_matrix_to_matrix_of_matrices(H, Nr)
         num_streams = self._metric_func_extra_args["num_streams"]
         MsPk = np.empty(K, dtype=np.ndarray)
         Wk_all = np.empty(K, dtype=np.ndarray)
         Ns_all = np.empty(K, dtype=int)
         for k in range(K):
-            Ntk = Nt[k]
+            wk = widths[k]
             Heq_k = H_ks[k] @ Ms_ks[k]
             if self.metric_name == "naive":
-                Pk = np.eye(Ntk)[:, :num_streams]
+                Pk = np.eye(wk)[:, :num_streams]
             else:
+                self._require_cov_basis_coherent(wk, Nr[k])
                 Pk = _calc_stream_reduction_matrix(Re[k], num_streams)
             norm_term = (np.linalg.norm(Ms_ks[k] @ Pk, "fro") /
                          np.sqrt(self.iPu))
@@ -370,18 +399,34 @@ class EnhancedBD(BDWithExtIntBase):
             Ns_all[k] = num_streams
         return MsPk, Wk_all, Ns_all
 
+    @staticmethod
+    def _require_cov_basis_coherent(width: int, nr_k: int) -> None:
+        """The ext-int stream-reduction basis lives in the per-user
+        STREAM space, obtained from the (Nr_k x Nr_k) covariance
+        (blockdiagonalization.py:120-144) — coherent only when the BD
+        stream width equals Nr_k (true whenever Nt_total >= K * Nr_u,
+        including non-square Nt_u > Nr_u geometries)."""
+        if width != nr_k:
+            raise ValueError(
+                "Covariance-based stream reduction needs the BD stream "
+                f"width ({width}) to equal the user's receive antenna "
+                f"count ({nr_k}); use the 'naive' metric or add transmit "
+                "antennas")
+
     def _perform_BD_no_waterfilling_decide_number_streams(self, mu_channel):
-        K, Nr, Nt = mu_channel.K, mu_channel.Nr, mu_channel.Nt
+        K, Nr = mu_channel.K, mu_channel.Nr
         H = _as_np(mu_channel.big_H_no_ext_int)
         Re = mu_channel.calc_cov_matrix_extint_plus_noise(self.pe)
         Ms_bad, _ = self._calc_BD_matrix_no_power_scaling(H)
-        Ms_ks = single_matrix_to_matrix_of_matrices(Ms_bad, None, Nt)
+        widths = np.asarray(self._last_stream_widths)
+        Ms_ks = single_matrix_to_matrix_of_matrices(Ms_bad, None, widths)
         H_ks = single_matrix_to_matrix_of_matrices(H, Nr)
         MsPk = np.empty(K, dtype=np.ndarray)
         Wk_all = np.empty(K, dtype=np.ndarray)
         Ns_all = np.empty(K, dtype=int)
         for k in range(K):
-            Ntk = Nt[k]
+            Ntk = widths[k]  # candidate stream counts live in 1..width
+            self._require_cov_basis_coherent(Ntk, Nr[k])
             Rek = _as_np(Re[k])
             Heq_k = H_ks[k] @ Ms_ks[k]
             metric_values = np.zeros(Ntk)

@@ -868,3 +868,130 @@ class TestBatchedExtIntBD:
                     assert np.abs(got - target).max() < 1e-3, (seed, k, j)
                     assert np.abs(want_h - target).max() < 1e-3, \
                         (seed, k, j)
+
+
+class TestBatchedExtIntBDNonSquare:
+    """Non-square geometries (Nt_u > Nr_u) for the device ext-int BD
+    family (VERDICT round-3 item 4): every user still keeps Nr_u
+    streams, chosen as the best stream-aligned directions in the FULL
+    (now larger) null space — host and device agree per-realization."""
+
+    PE, IPU, NV = 0.1, 1.0, 0.01
+
+    GEOMETRIES = [(3, 2, 3),   # K=3, Nr_u=2, Nt_u=3 (the VERDICT case)
+                  (2, 2, 4)]   # K=2, Nr_u=2, Nt_u=4
+
+    def _setup(self, K, nr, nt, seed):
+        mu = MultiUserChannelMatrixExtInt()
+        mu.randomize(np.full(K, nr), np.full(K, nt), K, 1,
+                     key=jax.random.PRNGKey(seed))
+        mu.noise_var = self.NV
+        Hn = mu.big_H_no_ext_int
+        Hn = Hn.to_numpy() if hasattr(Hn, "to_numpy") else np.asarray(Hn)
+        Rl = mu.calc_cov_matrix_extint_plus_noise(self.PE)
+        Rn = np.stack([
+            r.to_numpy() if hasattr(r, "to_numpy") else np.asarray(r)
+            for r in Rl])
+        H = cplx.from_numpy(Hn.astype(np.complex64))
+        R = cplx.from_numpy(Rn.astype(np.complex64))
+        return mu, H, R, Hn, Rn
+
+    def _metric_cases(self):
+        from pyphysim_tpu.modulators import PSK
+        mod = PSK(4)
+        return [
+            (None, None, {}),
+            ("naive", {"num_streams": 1}, {"num_streams": 1}),
+            ("fixed", {"num_streams": 1}, {"num_streams": 1}),
+            ("capacity", None, {}),
+            ("effective_throughput",
+             {"modulator": mod, "packet_length": 60},
+             {"modulator": mod, "packet_length": 60}),
+        ]
+
+    @pytest.mark.parametrize("K,nr,nt", GEOMETRIES)
+    @pytest.mark.parametrize("case_idx", range(5))
+    def test_enhanced_bd_matches_host(self, K, nr, nt, case_idx):
+        from pyphysim_tpu.comm.batched import enhanced_bd_batched
+        metric, extra, kw = self._metric_cases()[case_idx]
+        mu, H, R, Hn, Rn = self._setup(K, nr, nt, seed=21 + case_idx)
+        host = EnhancedBD(K, self.IPU, self.NV, self.PE)
+        host.set_ext_int_handling_metric(metric, extra)
+        MsPk_h, Wk_h, Ns_h = host.block_diagonalize_no_waterfilling(mu)
+        MsPk_d, Wk_d, Ns_d, sinr_d, valid = enhanced_bd_batched(
+            H, R, K, self.IPU, metric=metric, **kw)
+        assert bool(np.asarray(valid))
+        # every user keeps at most Nr_u streams even though Nt_u > Nr_u
+        assert MsPk_d.shape[-1] == nr
+        np.testing.assert_array_equal(
+            np.asarray(Ns_d), np.asarray(Ns_h, np.float32))
+        for k in range(K):
+            ns = int(Ns_h[k])
+            dm = MsPk_d.to_numpy()[k][:, :ns]
+            dw = Wk_d.to_numpy()[k][:ns, :]
+            scale_m = max(1.0, np.abs(MsPk_h[k]).max())
+            scale_w = max(1.0, np.abs(Wk_h[k]).max())
+            assert np.abs(dm - MsPk_h[k]).max() / scale_m < 2e-2, \
+                (metric, k)
+            assert np.abs(dw - Wk_h[k]).max() / scale_w < 2e-2, \
+                (metric, k)
+            assert np.allclose(MsPk_d.to_numpy()[k][:, ns:], 0)
+            assert np.allclose(Wk_d.to_numpy()[k][ns:, :], 0)
+
+    @pytest.mark.parametrize("K,nr,nt", GEOMETRIES)
+    def test_enhanced_bd_block_diagonalizes(self, K, nr, nt):
+        """W_k H_k MsPk_j ~ delta_kj I on the kept streams: the larger
+        null space still nulls the cross-user blocks exactly."""
+        from pyphysim_tpu.comm.batched import enhanced_bd_batched
+        mu, H, R, Hn, _ = self._setup(K, nr, nt, seed=31)
+        MsPk_d, Wk_d, Ns_d, _, valid = enhanced_bd_batched(
+            H, R, K, self.IPU, metric=None)
+        assert bool(np.asarray(valid))
+        Mdn, Wdn = MsPk_d.to_numpy(), Wk_d.to_numpy()
+        for k in range(K):
+            for j in range(K):
+                got = Wdn[k] @ Hn[nr * k:nr * (k + 1)] @ Mdn[j]
+                target = np.eye(nr) if j == k else np.zeros((nr, nr))
+                assert np.abs(got - target).max() < 1e-3, (k, j)
+
+    @pytest.mark.parametrize("K,nr,nt", GEOMETRIES)
+    def test_whitening_bd_matches_host_structure(self, K, nr, nt):
+        from pyphysim_tpu.comm.batched import whitening_bd_batched
+        mu, H, R, Hn, _ = self._setup(K, nr, nt, seed=41)
+        host = WhiteningBD(K, self.IPU, self.NV, self.PE)
+        Ms_h, Wk_h, Ns_h = host.block_diagonalize_no_waterfilling(mu)
+        assert list(Ns_h) == [nr] * K  # widths, not Nt_u
+        Ms_d, Wk_d, valid = whitening_bd_batched(H, R, K, self.IPU)
+        assert bool(np.asarray(valid))
+        Mdn, Wdn = Ms_d.to_numpy(), Wk_d.to_numpy()
+        for k in range(K):
+            assert np.isclose(np.linalg.norm(Mdn[k]) ** 2, self.IPU,
+                              rtol=1e-3)
+            assert np.isclose(np.linalg.norm(Ms_h[k]) ** 2, self.IPU,
+                              rtol=1e-3)
+            for j in range(K):
+                got = Wdn[k] @ Hn[nr * k:nr * (k + 1)] @ Mdn[j]
+                want_h = Wk_h[k] @ Hn[nr * k:nr * (k + 1)] @ Ms_h[j]
+                target = np.eye(nr) if j == k else np.zeros((nr, nr))
+                assert np.abs(got - target).max() < 1e-3, (k, j)
+                assert np.abs(want_h - target).max() < 1e-3, (k, j)
+
+    def test_too_few_tx_antennas_raises(self):
+        from pyphysim_tpu.comm.batched import enhanced_bd_batched
+        _, H, R, _, _ = self._setup(3, 3, 2, seed=51)  # nS = 0 < Nr_u
+        with pytest.raises(ValueError, match="Nt_total"):
+            enhanced_bd_batched(H, R, 3, self.IPU, metric="capacity")
+
+    def test_bd_precoders_non_square_capacity_sane(self):
+        """bd_precoders_batched with Nt_u > Nr_u: the extra transmit
+        dimensions RAISE the per-user effective gains vs square (the
+        device route picks the best directions in the larger null
+        space)."""
+        from pyphysim_tpu.comm import bd_precoders_batched
+        key = jax.random.PRNGKey(3)
+        Hsq = randn_c(key, 64, 6, 6)       # K=3, square
+        Htall = randn_c(key, 64, 6, 9)     # K=3, Nt_u=3
+        _, _, s_sq = bd_precoders_batched(Hsq, 3, 1.0, 0.0, "none")
+        _, _, s_tall = bd_precoders_batched(Htall, 3, 1.0, 0.0, "none")
+        assert s_tall.shape == s_sq.shape
+        assert float(jnp.mean(s_tall)) > float(jnp.mean(s_sq))
