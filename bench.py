@@ -191,7 +191,10 @@ def _bench_engine(results, log):
     from pyphysim_tpu.ops.mc_pallas import MonteCarloOfdmTdl
     from pyphysim_tpu.simulations import Result, SimulationRunner
 
-    tile, nt, bsize, rep_max = 1024, 4, 2048, 32768
+    # bsize bound: the kernel's (reps, num_tiles) int32 SMEM output pads
+    # to 128 B/element and SMEM is 1 MB — 1024 x 4 uses half of it
+    # (2048 x 4 exceeded it by 660 B)
+    tile, nt, bsize, rep_max = 1024, 4, 1024, 16384
     ofdm = OFDM(512, 52, 300)
     jakes = JakesSampleGenerator(Fd=30.0, Ts=1.0 / 20e6, L=16)
     mc = MonteCarloOfdmTdl(ofdm, TdlChannel(jakes, COST259_TUx), M=16,
