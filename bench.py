@@ -338,10 +338,56 @@ def _bench_families(results, log):
     ber = errors / bits
     lo, hi = ALAMOUTI_BER_10DB
     assert lo < ber < hi, f"implausible Alamouti BER {ber} at 10 dB"
-    results["alamouti_sym_s"] = batch * n * iters / dt
+    results["alamouti_xla_sym_s"] = batch * n * iters / dt
     results["alamouti_ber_10dB"] = ber
-    log(f"alamouti: {results['alamouti_sym_s']:.3e} sym/s "
-        f"(BER@10dB {ber:.4f})")
+    log(f"alamouti (XLA chain): {results['alamouti_xla_sym_s']:.3e} "
+        f"sym/s (BER@10dB {ber:.4f})")
+
+    # ---- (a') Alamouti VMEM-resident Pallas kernel ------------------
+    # the mc_pallas treatment applied to the Alamouti family
+    # (ops/alamouti_pallas.py): in-kernel PRNG, sign-arithmetic
+    # QPSK/combining, one int32 per grid step to HBM
+    try:
+        from pyphysim_tpu.ops.alamouti_pallas import MonteCarloAlamouti
+        # shape swept on v5e: 64 x 256 (2.26e10) beats 256 x 512
+        # (1.31e10) and 128 x 512 (1.50e10) — small blocks keep the
+        # working set near the VPU; reps bounded by the 128 B/element
+        # SMEM output padding (1024 x 4 = 0.5 MB of the 1 MB budget)
+        mca = MonteCarloAlamouti(tile=64, lane=256)
+        reps_a, nt_a, iters_a = 512, 4, 500
+        astep = mca.build(reps_a, nt_a)
+
+        @jax.jit
+        def _arun(seed, snr_linear):
+            def body(carry, i):
+                return carry, jnp.sum(astep(seed + i, snr_linear))
+
+            _, per_step = jax.lax.scan(body, 0, jnp.arange(iters_a))
+            return per_step
+
+        def arun_many(seed, snr_linear) -> int:
+            return int(np.asarray(_arun(jnp.int32(seed), snr_linear),
+                                  dtype=np.int64).sum())
+
+        sym = reps_a * nt_a * mca.symbols_per_grid_step * iters_a
+        log("alamouti-pallas: compiling + warmup")
+        arun_many(31, 10.0)
+        t0 = time.perf_counter()
+        errors = arun_many(37, 10.0)
+        dt = time.perf_counter() - t0
+        ber_k = errors / (sym * 2)
+        assert lo < ber_k < hi, \
+            f"implausible Alamouti kernel BER {ber_k} at 10 dB"
+        results["alamouti_sym_s"] = sym / dt
+        results["alamouti_ber_10dB"] = ber_k
+        log(f"alamouti (pallas): {results['alamouti_sym_s']:.3e} sym/s "
+            f"(BER@10dB {ber_k:.4f})")
+    except AssertionError:
+        raise
+    except Exception as exc:  # pragma: no cover - backend-dependent
+        results.setdefault("alamouti_sym_s",
+                           results["alamouti_xla_sym_s"])
+        log(f"alamouti pallas stage failed ({exc!r}); XLA number kept")
 
     # ---- (b) Max-SINR IA sum capacity -------------------------------
     def ia_step(key, _):
@@ -529,7 +575,8 @@ def main() -> None:
         "engine_sym_s": r.get("engine_sym_s"),
         "engine_frac_of_kernel": r.get("engine_frac_of_kernel"),
         "families": {k: r[k] for k in
-                     ("alamouti_sym_s", "alamouti_ber_10dB",
+                     ("alamouti_sym_s", "alamouti_xla_sym_s",
+                      "alamouti_ber_10dB",
                       "ia_maxsinr_solves_s", "bd_solves_s") if k in r},
     }))
 
