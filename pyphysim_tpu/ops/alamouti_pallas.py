@@ -213,11 +213,38 @@ class MonteCarloAlamouti:
     # ------------------------------------------------------------------
 
     def build_inject(self, reps: int, num_tiles: int,
-                     interpret: bool = True):
+                     interpret: bool = True, mesh=None,
+                     axis: str = "mc"):
         """Same math with the randomness supplied as uint32 tensors:
         ``fn(ch_bits (reps, 8, lane), d/n1r/n1i/n2r/n2i
-        (reps, num_tiles * tile, lane), amp) -> (reps, num_tiles)``."""
+        (reps, num_tiles * tile, lane), amp) -> (reps, num_tiles)``.
+        ``mesh`` shards the rep axis with :func:`shard_map` — the
+        CPU-testable twin of the sharded TPU-PRNG mode (the bits carry
+        the absolute attempt index, so results are bit-identical to
+        unsharded; same contract as mc_pallas ``build_inject``)."""
         tile, lane = self._tile, self._lane
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = int(mesh.shape[axis])
+            if reps % n_dev:
+                raise ValueError(f"reps {reps} not divisible by mesh "
+                                 f"axis {axis!r} size {n_dev}")
+            local = self.build_inject(reps // n_dev, num_tiles,
+                                      interpret)
+            sharded = shard_map(
+                local, mesh=mesh,
+                in_specs=(P(axis),) * 6 + (P(),),
+                out_specs=P(axis), check_vma=False)
+            replicated = NamedSharding(mesh, P())
+
+            @jax.jit
+            def run(ch_bits, d_bits, n1r, n1i, n2r, n2i, amp):
+                out = sharded(ch_bits, d_bits, n1r, n1i, n2r, n2i, amp)
+                return jax.lax.with_sharding_constraint(out, replicated)
+
+            return run
 
         def kernel(amp_ref, ch_ref, d_ref, n1r_ref, n1i_ref, n2r_ref,
                    n2i_ref, out_ref):

@@ -148,3 +148,18 @@ class TestInjectMatchesModel:
                            axis=1) for b in bits[1:]]
         out = np.asarray(mc.build_inject(1, 2)(*swapped, amp))
         assert np.array_equal(out[0, ::-1], base[0])
+
+    def test_sharded_inject_bit_identical(self):
+        """The rep axis sharded over the 8-device CPU mesh under
+        shard_map is BIT-identical to the unsharded kernel (the
+        absolute-index stream contract, as for the OFDM kernel)."""
+        from pyphysim_tpu.parallel import make_mesh
+        mc = MonteCarloAlamouti(tile=16, lane=128)
+        reps, num_tiles = 8, 2
+        bits = _draw_bits(jax.random.PRNGKey(11), mc, reps, num_tiles)
+        amp = np.float32(math.sqrt(0.5 / 10.0))
+        one = np.asarray(mc.build_inject(reps, num_tiles)(*bits, amp))
+        mesh = make_mesh(8)
+        sharded = np.asarray(
+            mc.build_inject(reps, num_tiles, mesh=mesh)(*bits, amp))
+        assert np.array_equal(one, sharded), (one, sharded)
