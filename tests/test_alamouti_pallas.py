@@ -163,3 +163,38 @@ class TestInjectMatchesModel:
         sharded = np.asarray(
             mc.build_inject(reps, num_tiles, mesh=mesh)(*bits, amp))
         assert np.array_equal(one, sharded), (one, sharded)
+
+
+class TestAlamoutiMcKernelApp:
+    def test_runner_sweep_ber_monotone_and_bracketed(self):
+        """The bulk-path app (apps/mimo/alamouti_mc_kernel.py) on the
+        CPU interpreter: BER decreasing in SNR, 10 dB point inside the
+        bench bracket, chunk-size invariant."""
+        sys_path = __import__("sys").path
+        import os
+        sys_path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from apps.mimo.alamouti_mc_kernel import \
+            AlamoutiMcKernelSimulationRunner
+
+        r = AlamoutiMcKernelSimulationRunner(tile=16, lane=128,
+                                             num_tiles=2)
+        r.params.add("SNR", np.array([0.0, 10.0]))
+        r.rep_max = 4
+        r.batch_size = 2
+        r.update_progress_function_style = None
+        r.simulate()
+        ber = [float(v) for v in
+               r.results.get_result_values_list("ber")]
+        assert ber[1] < ber[0] < 0.5
+        assert 0.008 < ber[1] < 0.030, ber
+
+        r2 = AlamoutiMcKernelSimulationRunner(tile=16, lane=128,
+                                              num_tiles=2)
+        r2.params.add("SNR", np.array([0.0, 10.0]))
+        r2.rep_max = 4
+        r2.batch_size = 4
+        r2.update_progress_function_style = None
+        r2.simulate()
+        ber2 = [float(v) for v in
+                r2.results.get_result_values_list("ber")]
+        assert ber == ber2  # absolute-attempt-cursor contract
