@@ -113,7 +113,8 @@ class BDSimulationRunner(SimulationRunner):
 
     def __init__(self, read_command_line_args: bool = True,
                  engine: str = "device",
-                 default_config_file: str = None):
+                 default_config_file: str = None,
+                 metrics=None):
         import os
         if default_config_file is None:
             default_config_file = os.path.join(
@@ -122,6 +123,13 @@ class BDSimulationRunner(SimulationRunner):
         super().__init__(default_config_file, SPEC, read_command_line_args)
 
         self.engine = engine
+        # optional subset of METRICS to simulate (all six by default);
+        # e.g. CI runs a 2-metric subset — the EnhancedBD candidate
+        # unrolls dominate the device program's compile time
+        self.metrics = list(METRICS if metrics is None else metrics)
+        unknown = set(self.metrics) - set(METRICS)
+        if unknown:
+            raise ValueError(f"unknown metrics: {sorted(unknown)}")
         self.path_loss_obj = PathLoss3GPP1()
         self.cell_grid = Grid()
         self.cell_grid.create_clusters(int(self.params["num_clusters"]),
@@ -137,7 +145,7 @@ class BDSimulationRunner(SimulationRunner):
         self.progressbar_message = "SNR: {SNR}, Pe_dBm: {Pe_dBm}"
 
         self.batch_result_types = {}
-        for m in METRICS:
+        for m in self.metrics:
             self.batch_result_types[f"ber_{m}"] = Result.RATIOTYPE
             self.batch_result_types[f"ser_{m}"] = Result.RATIOTYPE
             self.batch_result_types[f"per_{m}"] = Result.RATIOTYPE
@@ -222,14 +230,15 @@ class BDSimulationRunner(SimulationRunner):
         nv = self.noise_var
         base = jax.random.fold_in(jax.random.PRNGKey(self.base_seed),
                                   max(p.unpack_index, 0))
-        solver_cases = [
+        solver_cases = [c for c in [
             ("None", None, {}),
             ("naive", "naive", {"num_streams": 1}),
             ("fixed", "fixed", {"num_streams": 1}),
             ("capacity", "capacity", {}),
             ("effec_throughput", "effective_throughput",
              {"modulator": mod, "packet_length": L}),
-        ]
+        ] if c[0] in self.metrics]
+        do_whitening = "Whitening" in self.metrics
 
         def rep_kernel(key, spl, spl_i):
             kH, kE, kD, kX, kN = jax.random.split(key, 5)
@@ -247,33 +256,37 @@ class BDSimulationRunner(SimulationRunner):
             R = cplx.CArray(pe * gram.re + nv * eye, pe * gram.im)
 
             sols = []
-            valid = None
+            valid = jnp.asarray(True)
+            names = [c[0] for c in solver_cases]
             for _, metric, kw in solver_cases:
                 Ms, Wk, Ns, sinrs, ok = enhanced_bd_batched(
                     H, R, K, pt, metric=metric, **kw)
                 sols.append((Ms, Wk, Ns, sinrs))
-                valid = ok if valid is None else (valid & ok)
-            Ms_w, Wk_w, ok_w = whitening_bd_batched(H, R, K, pt)
-            valid = valid & ok_w
-            # WhiteningBD keeps all streams; its SINRs use the same
-            # formula as EnhancedBD (_calc_linear_SINRs,
-            # blockdiagonalization.py:1100-1139)
-            sinr_w = []
-            for k in range(K):
-                Heq = cplx.matmul(H[k * nr:(k + 1) * nr, :], Ms_w[k])
-                mtP = cplx.matmul(Wk_w[k], Heq)
-                desired = cplx.CArray(
-                    jnp.diagonal(mtP.re, axis1=-2, axis2=-1),
-                    jnp.diagonal(mtP.im, axis1=-2, axis2=-1)).abs2()
-                internal = jnp.sum(mtP.abs2(), axis=-1) - desired
-                wrw = cplx.matmul(Wk_w[k],
-                                  cplx.matmul(R[k], Wk_w[k].mH))
-                ext_n = jnp.abs(jnp.diagonal(wrw.re, axis1=-2, axis2=-1))
-                sinr_w.append(desired /
-                              jnp.maximum(internal + ext_n, 1e-30))
-            sols.append((Ms_w, Wk_w,
-                         jnp.full((K,), float(nr)),
-                         jnp.stack(sinr_w)))
+                valid = valid & ok
+            if do_whitening:
+                Ms_w, Wk_w, ok_w = whitening_bd_batched(H, R, K, pt)
+                valid = valid & ok_w
+                # WhiteningBD keeps all streams; its SINRs use the same
+                # formula as EnhancedBD (_calc_linear_SINRs,
+                # blockdiagonalization.py:1100-1139)
+                sinr_w = []
+                for k in range(K):
+                    Heq = cplx.matmul(H[k * nr:(k + 1) * nr, :], Ms_w[k])
+                    mtP = cplx.matmul(Wk_w[k], Heq)
+                    desired = cplx.CArray(
+                        jnp.diagonal(mtP.re, axis1=-2, axis2=-1),
+                        jnp.diagonal(mtP.im, axis1=-2, axis2=-1)).abs2()
+                    internal = jnp.sum(mtP.abs2(), axis=-1) - desired
+                    wrw = cplx.matmul(Wk_w[k],
+                                      cplx.matmul(R[k], Wk_w[k].mH))
+                    ext_n = jnp.abs(
+                        jnp.diagonal(wrw.re, axis1=-2, axis2=-1))
+                    sinr_w.append(desired /
+                                  jnp.maximum(internal + ext_n, 1e-30))
+                sols.append((Ms_w, Wk_w,
+                             jnp.full((K,), float(nr)),
+                             jnp.stack(sinr_w)))
+                names.append("Whitening")
 
             data = jax.random.randint(kD, (K, nr, NSymbs), 0, M)
             x = mod.modulate(data)
@@ -283,10 +296,7 @@ class BDSimulationRunner(SimulationRunner):
             noise = randn_c(kN, K * nr, NSymbs) * float(np.sqrt(nv))
 
             out = {}
-            for (name, _, _), (Ms, Wk, Ns, sinrs) in zip(solver_cases +
-                                                         [("Whitening",
-                                                           None, {})],
-                                                         sols):
+            for name, (Ms, Wk, Ns, sinrs) in zip(names, sols):
                 tx = cplx.matmul(Ms[0], x[0])
                 for k in range(1, K):
                     tx = tx + cplx.matmul(Ms[k], x[k])
@@ -380,11 +390,15 @@ class BDSimulationRunner(SimulationRunner):
                 ("capacity", "capacity", None),
                 ("effec_throughput", "effective_throughput",
                  {"modulator": mod, "packet_length": L})]:
+            if name not in self.metrics:
+                continue
             bd = EnhancedBD(K, pt, self.noise_var, pe)
             bd.set_ext_int_handling_metric(metric, extra)
             solvers[name] = bd.block_diagonalize_no_waterfilling(mu)
-        wbd = WhiteningBD(K, pt, self.noise_var, pe)
-        solvers["Whitening"] = wbd.block_diagonalize_no_waterfilling(mu)
+        if "Whitening" in self.metrics:
+            wbd = WhiteningBD(K, pt, self.noise_var, pe)
+            solvers["Whitening"] = \
+                wbd.block_diagonalize_no_waterfilling(mu)
 
         rs = np.random.RandomState(attempt)
         ext_data = (np.sqrt(pe) *

@@ -308,13 +308,14 @@ class TestSimulateCompFull:
     engine."""
 
     def _runner(self, engine, reps, snr=20.0, pe=10.0, method="Random",
-                config=None):
+                config=None, metrics=None):
         import numpy as np
 
         from apps.comp_BD.simulate_comp import BDSimulationRunner
         r = BDSimulationRunner(read_command_line_args=False,
                                engine=engine,
-                               default_config_file=config)
+                               default_config_file=config,
+                               metrics=metrics)
         r.params.add("SNR", np.array([snr]))
         r.params.add("Pe_dBm", np.array([pe]))
         r.params.add("user_positioning_method", method)
@@ -329,9 +330,12 @@ class TestSimulateCompFull:
         """Fixed (symmetric) user positions remove the scenario
         variance; the two engines then estimate the same SER within
         Monte Carlo confidence."""
-        rd = self._runner("device", reps=64, method="Symmetric Far Away")
+        sub = ["None", "capacity", "Whitening"]
+        rd = self._runner("device", reps=64, method="Symmetric Far Away",
+                          metrics=sub)
         rd.simulate()
-        rh = self._runner("host", reps=24, method="Symmetric Far Away")
+        rh = self._runner("host", reps=24, method="Symmetric Far Away",
+                          metrics=sub)
         rh.simulate()
         for m in ("None", "capacity", "Whitening"):
             d = float(rd.results.get_result_values_list(f"ser_{m}")[0])
@@ -349,16 +353,22 @@ class TestSimulateCompFull:
         cfg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "..", "apps", "comp_BD",
                            "bd_config_file_nonsquare.txt")
-        r = self._runner("device", reps=16, config=cfg)
+        r = self._runner("device", reps=16, config=cfg,
+                         metrics=["None", "capacity", "Whitening"])
         assert int(r.params["Nt"]) == 3 and int(r.params["Nr"]) == 2
         r.simulate()
-        ser_cap = float(
-            r.results.get_result_values_list("ser_capacity")[0])
-        ser_none = float(
-            r.results.get_result_values_list("ser_None")[0])
-        assert np.isfinite(ser_cap) and 0.0 <= ser_cap < 1.0
-        # the extra transmit antenna buys real SER margin vs nothing
-        assert ser_cap <= ser_none + 0.05, (ser_cap, ser_none)
+        sers = {}
+        for m in ("None", "capacity", "Whitening"):
+            for prefix in ("ber", "ser", "per", "spec_effic", "sinr"):
+                vals = r.results.get_result_values_list(f"{prefix}_{m}")
+                assert len(vals) == 1 and np.isfinite(vals[0]), \
+                    (m, prefix)
+            sers[m] = float(
+                r.results.get_result_values_list(f"ser_{m}")[0])
+        assert 0.0 <= sers["capacity"] < 1.0
+        # stream sacrifice must actually help against the strong
+        # external interferer (the app's whole point)
+        assert sers["capacity"] < sers["None"], sers
 
     def test_chunk_invariance_of_random_drops(self):
         """The scenario generation is keyed by the ABSOLUTE attempt
@@ -366,23 +376,19 @@ class TestSimulateCompFull:
         bulk-path resume/checkpoint contract extended to the host-side
         geometry sampling)."""
         import numpy as np
-        r1 = self._runner("device", reps=12)
+        sub = ["None", "Whitening"]  # cheap compile; invariance is
+        # about the geometry sampling + fold_in keying, not the solvers
+        r1 = self._runner("device", reps=12, metrics=sub)
         r1.batch_size = 4
         r1.simulate()
-        r2 = self._runner("device", reps=12)
+        r2 = self._runner("device", reps=12, metrics=sub)
         r2.batch_size = 12
         r2.simulate()
-        from apps.comp_BD.simulate_comp import METRICS
-        sers = {}
-        for m in METRICS:
+        for m in sub:
             for prefix in ("ber", "ser", "per", "spec_effic", "sinr"):
                 vals = r2.results.get_result_values_list(f"{prefix}_{m}")
-                assert len(vals) == 1 and np.isfinite(vals[0]), (m, prefix)
+                assert len(vals) == 1 and np.isfinite(vals[0]), \
+                    (m, prefix)
             a = r1.results.get_result_values_list(f"ser_{m}")
             b = r2.results.get_result_values_list(f"ser_{m}")
             np.testing.assert_allclose(a, b, rtol=0, atol=0)
-            sers[m] = float(b[0])
-        # stream sacrifice must actually help against the strong
-        # external interferer (the app's whole point)
-        assert sers["capacity"] < sers["None"], sers
-        assert 0.0 <= sers["capacity"] < 1.0
