@@ -376,8 +376,9 @@ class TestSimulateCompFull:
         bulk-path resume/checkpoint contract extended to the host-side
         geometry sampling)."""
         import numpy as np
-        sub = ["None", "Whitening"]  # cheap compile; invariance is
-        # about the geometry sampling + fold_in keying, not the solvers
+        sub = ["None"]  # cheapest compile; invariance is about the
+        # geometry sampling + fold_in keying, not the solvers (the
+        # non-square test above covers the multi-metric device program)
         r1 = self._runner("device", reps=12, metrics=sub)
         r1.batch_size = 4
         r1.simulate()

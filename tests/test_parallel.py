@@ -105,8 +105,14 @@ class TestGraftDryrun:
         import __graft_entry__ as g
         g.dryrun_multichip(8)
 
-    def test_dryrun_multichip_2(self):
+    def test_dryrun_multichip_2(self, monkeypatch):
         import __graft_entry__ as g
+        # the 2-process (Gloo) stage spawns two fresh interpreters
+        # (~15 s); it is covered by tests/test_multihost.py AND executed
+        # by the driver's own dryrun_multichip(8) run every round — CI
+        # keeps the in-process stages here
+        monkeypatch.setattr(g, "_dryrun_two_process_runner",
+                            lambda n: None)
         g.dryrun_multichip(2)
 
     def test_entry_compiles(self):
