@@ -403,15 +403,23 @@ class BDSimulationRunner(SimulationRunner):
         rs = np.random.RandomState(attempt)
         ext_data = (np.sqrt(pe) *
                     randn_c_RS(rs, rank, NSymbs))
+        # ALL metrics share the same data / ext-interference / noise
+        # draws, as the reference does by re-seeding per metric
+        # (simulate_comp.py:524-545) and as the device engine does by
+        # construction: re-seed the data stream and reuse one noise key
+        # for every metric
+        data_seed = attempt * 7919 + 13
+        noise_key = __import__("jax").random.PRNGKey(attempt * 104729 + 7)
         results = SimulationResults()
         for name, (MsPk, Wk, Ns) in solvers.items():
             Ns_total = int(np.sum(Ns))
-            data = rs.randint(0, M, (Ns_total, NSymbs))
+            data = np.random.RandomState(data_seed).randint(
+                0, M, (Ns_total, NSymbs))
             symbols = np.asarray(mod.modulate(data))
             precoded = np.hstack(list(MsPk)) @ symbols
             all_data = np.vstack([precoded, ext_data])
             received = np.asarray(
-                mu.corrupt_concatenated_data(all_data))
+                mu.corrupt_concatenated_data(all_data, key=noise_key))
             from scipy.linalg import block_diag
             W = block_diag(*list(Wk))
             decided = np.asarray(mod.demodulate(W @ received))

@@ -8,9 +8,10 @@ SVDs. The algorithm is [Spencer2004] exactly as in the reference:
 
 1. per user k, the precoder lives in the null space of the other users'
    stacked rows ``tilde_H_k`` (blockdiagonalization.py:272-363) — here
-   the last ``nS`` right singular vectors of a full-matrices batched SVD,
-2. a second (thin) SVD inside the null space aligns per-user streams and
-   yields the effective singular values,
+   reached through the closed-form projector route of
+   :func:`_stream_null_blocks` (no full-matrices SVD),
+2. the per-user streams are the best ``min(Nr_u, nS)`` stream-aligned
+   directions of that null space, with their effective singular values,
 3. power loading: global water-filling (blockdiagonalization.py:365-401),
    per-BS normalized water-filling (:403-464), or equal per-BS power
    (:510-565), all branch-free.
@@ -169,9 +170,10 @@ def bd_precoders_batched(H: CArray, num_users: int, iPu: float,
             "Number of rows of the channel must be a multiple of the "
             "number of users.")
     blocks, sigmas, (nr_u, nS) = _stream_null_blocks(H, K)
-    # streams surviving the reference's second SVD (its thin-SVD factor
-    # caps the count at min(nr_u, nS) implicitly)
-    kept = min(nS - max(nr_u - nS, 0), min(nr_u, nS))
+    # per-user stream count, matching the generalized host solver
+    # (_calc_BD_matrix_no_power_scaling keeps min(Nr_u, null_dim)
+    # stream-aligned directions of the FULL null space)
+    kept = min(nr_u, nS)
     ms_blocks = [b[..., :, :kept] for b in blocks]
     sig_blocks = [s[..., :kept] for s in sigmas]
     Ms_bad = cplx.concatenate(ms_blocks, axis=-1)     # (..., Nt, K*kept)
@@ -291,8 +293,10 @@ def bd_blocks_no_power_batched(H: CArray, num_users: int):
     blockdiagonalization.py:272-363, via the
     ``least_right_singular_vectors`` ascending convention,
     misc.py:595-663). Returns ``(blocks, sigmas)``: per user a
-    (..., Nt_total, nS) block and its (..., nS) ascending singular
-    values. Generic full-rank case (``nS = Nt_total - (K-1) Nr_u``)."""
+    (..., Nt_total, r) block and its (..., r) ascending singular
+    values, where ``r = min(Nr_u, nS)`` with
+    ``nS = Nt_total - (K-1) Nr_u`` the generic null-space dimension
+    (r == nS == Nr_u in the square scenario)."""
     K = int(num_users)
     desc_blocks, desc_sigmas, _ = _stream_null_blocks(H, K)
     blocks = [_canonicalize_phases(_flip_cols(b)) for b in desc_blocks]
@@ -336,9 +340,10 @@ def whitening_bd_batched(H: CArray, R: CArray, num_users: int,
     ``H``: (..., K*Nr_u, Nt_total) joint channel WITHOUT the external
     interference columns; ``R``: (..., K, Nr_u, Nr_u) per-user ext-int-
     plus-noise covariances. Returns ``(Ms, Wk, valid)``: per-user
-    precoders (..., K, Nt_total, nS), composite receive filters
-    (..., K, nS, Nr_u) (whitening folded in), and a finite/conditioning
-    validity mask."""
+    precoders (..., K, Nt_total, r) with ``r = min(Nr_u, nS)`` streams
+    per user (== Nr_u whenever Nt_total >= K*Nr_u), composite receive
+    filters (..., K, r, Nr_u) (whitening folded in), and a
+    finite/conditioning validity mask."""
     K = int(num_users)
     nr_u = H.shape[-2] // K
     whiteners = [whitening_matrix_batched(R[..., k, :, :]).mH

@@ -164,12 +164,16 @@ class BlockDiagonalizer:
 
     def _perform_normalized_waterfilling_power_scaling(
             self, Ms_bad: np.ndarray, Sigma: np.ndarray) -> np.ndarray:
-        iNtU = Sigma.size // self.num_users
         Ms_good = self._perform_global_waterfilling_power_scaling(
             Ms_bad, Sigma)
         max_sqrt_p = 0.0
-        for user in range(self.num_users):
-            um = Ms_good[:, user * iNtU:(user + 1) * iNtU]
+        # per-user blocks by the ACTUAL stream widths — rank-deficient
+        # draws can make them ragged, so a uniform total//K split would
+        # group the wrong columns
+        col = 0
+        for width in self._last_stream_widths:
+            um = Ms_good[:, col:col + width]
+            col += width
             max_sqrt_p = max(max_sqrt_p, float(np.linalg.norm(um, "fro")))
         return Ms_good * np.sqrt(self.iPu) / max_sqrt_p
 
@@ -191,12 +195,14 @@ class BlockDiagonalizer:
         the reference's square scenario)."""
         H = _as_np(mtChannel)
         Ms_bad, _ = self._calc_BD_matrix_no_power_scaling(H)
-        width = Ms_bad.shape[1] // self.num_users
         Ms_good = np.empty_like(Ms_bad)
-        for user in range(self.num_users):
-            um = Ms_bad[:, user * width:(user + 1) * width]
-            Ms_good[:, user * width:(user + 1) * width] = \
+        col = 0
+        for width in self._last_stream_widths:
+            um = Ms_bad[:, col:col + width]
+            Ms_good[:, col:col + width] = \
                 um * np.sqrt(self.iPu) / np.linalg.norm(um, "fro")
+            col += width
+        assert col == Ms_bad.shape[1]
         return H @ Ms_good, Ms_good
 
     @staticmethod

@@ -995,3 +995,72 @@ class TestBatchedExtIntBDNonSquare:
         _, _, s_tall = bd_precoders_batched(Htall, 3, 1.0, 0.0, "none")
         assert s_tall.shape == s_sq.shape
         assert float(jnp.mean(s_tall)) > float(jnp.mean(s_sq))
+
+
+class TestBDRaggedAndWideGeometries:
+    """Round-4 review regressions: per-user stream widths can be RAGGED
+    (rank-deficient draws) and the device/host pair must agree on the
+    stream count in WIDE geometries (nS < Nr_u)."""
+
+    def test_host_ragged_widths_power_normalized(self):
+        """K=2, Nr_u=3, Nt_total=5 with user 1's interfering rows made
+        rank-deficient: widths become ragged and BOTH users' precoder
+        blocks must still carry exactly iPu of power (the old uniform
+        total//K split left a column uninitialized)."""
+        rs = np.random.RandomState(3)
+        H = randn_c_RS(rs, 6, 5)
+        H[5] = H[4]  # user 0's tilde_H rank drops to 2: null_dim 3 vs 2
+        bd = BlockDiagonalizer(2, iPu=1.0, noise_var=0.01)
+        newH, Ms = bd.block_diagonalize_no_waterfilling(H)
+        widths = list(bd._last_stream_widths)
+        assert sum(widths) == Ms.shape[1]
+        assert widths == [3, 2], widths
+        col = 0
+        for w in widths:
+            blk = Ms[:, col:col + w]
+            col += w
+            assert np.isclose(np.linalg.norm(blk, "fro") ** 2, 1.0,
+                              rtol=1e-6)
+        # and the channel is still block-diagonalized: cross blocks ~ 0
+        cross = newH[:3, widths[0]:]
+        assert np.abs(cross).max() < 1e-6
+
+    def test_host_ragged_widths_normalized_wf_grouping(self):
+        """The normalized water-filling per-BS norm must group by the
+        ACTUAL widths: no user block may exceed iPu."""
+        rs = np.random.RandomState(5)
+        H = randn_c_RS(rs, 6, 5)
+        H[5] = H[4]
+        bd = BlockDiagonalizer(2, iPu=1.0, noise_var=0.01)
+        newH, Ms = bd.block_diagonalize(H)
+        widths = list(bd._last_stream_widths)
+        col = 0
+        for w in widths:
+            blk = Ms[:, col:col + w]
+            col += w
+            assert np.linalg.norm(blk, "fro") ** 2 <= 1.0 + 1e-6
+
+    def test_wide_geometry_device_matches_host(self):
+        """K=2, Nr_u=3, Nt_u=2 (Nt_total=4, nS=1 < Nr_u): both sides
+        keep min(Nr_u, nS) = 1 stream per user with the same effective
+        singular value."""
+        from pyphysim_tpu.comm import bd_precoders_batched
+        rs = np.random.RandomState(7)
+        Hn = randn_c_RS(rs, 6, 4)
+        host = BlockDiagonalizer(2, iPu=1.0, noise_var=0.01)
+        Ms_bad_h, Sigma_h = host._calc_BD_matrix_no_power_scaling(Hn)
+        assert list(host._last_stream_widths) == [1, 1]
+        H = cplx.from_numpy(Hn.astype(np.complex64))
+        newH, Ms, Sigma_d = bd_precoders_batched(H, 2, 1.0, 0.01, "none")
+        assert Ms.shape[-1] == 2  # one stream per user
+        np.testing.assert_allclose(np.sort(np.asarray(Sigma_d)),
+                                   np.sort(np.asarray(Sigma_h)),
+                                   rtol=2e-3)
+        # equal per-BS power and block diagonalization hold
+        Mn = Ms.to_numpy()
+        for k in range(2):
+            assert np.isclose(np.linalg.norm(Mn[:, k:k + 1]) ** 2, 1.0,
+                              rtol=1e-3)
+        nHn = newH.to_numpy()
+        assert np.abs(nHn[:3, 1:]).max() < 1e-4
+        assert np.abs(nHn[3:, :1]).max() < 1e-4
