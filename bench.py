@@ -410,9 +410,51 @@ def _bench_families(results, log):
     mean_cap = total_cap / (batch * iters)
     lo, hi = IA_CAP_RANGE
     assert lo < mean_cap < hi, f"implausible IA mean capacity {mean_cap}"
-    results["ia_maxsinr_solves_s"] = batch * iters / dt
-    log(f"ia: {results['ia_maxsinr_solves_s']:.3e} solves/s "
-        f"(mean cap {mean_cap:.2f})")
+    results["ia_maxsinr_xla_solves_s"] = batch * iters / dt
+    log(f"ia (XLA chain): {results['ia_maxsinr_xla_solves_s']:.3e} "
+        f"solves/s (mean cap {mean_cap:.2f})")
+
+    # ---- (b') Max-SINR IA VMEM-resident Pallas kernel ---------------
+    # the mc_pallas treatment applied to the IA family
+    # (ops/ia_pallas.py): whole solve in VMEM plane arithmetic,
+    # in-kernel PRNG, one f32 capacity sum per grid step. Shape swept
+    # on v5e: 8 x 512 / 8 x 256 plateau at ~3.1e8 solves/s.
+    try:
+        from pyphysim_tpu.ops.ia_pallas import MonteCarloMaxSinr
+        mci = MonteCarloMaxSinr(tile=8, lane=512, iterations=10)
+        reps_i, nt_i, iters_i = 128, 4, 500
+        istep = mci.build(reps_i, nt_i)
+
+        @jax.jit
+        def _irun(seed, nv):
+            def body(carry, i):
+                return carry, jnp.sum(istep(seed + i, nv, 0))
+
+            _, per_step = jax.lax.scan(body, 0.0, jnp.arange(iters_i))
+            return per_step
+
+        def irun_many(seed, nv) -> float:
+            return float(np.asarray(_irun(jnp.int32(seed), nv),
+                                    dtype=np.float64).sum())
+
+        solves = reps_i * nt_i * mci.solves_per_grid_step * iters_i
+        log("ia-pallas: compiling + warmup")
+        irun_many(41, jnp.float32(0.1))
+        t0 = time.perf_counter()
+        total_cap = irun_many(43, jnp.float32(0.1))
+        dt = time.perf_counter() - t0
+        mean_cap = total_cap / solves
+        assert lo < mean_cap < hi, \
+            f"implausible IA kernel mean capacity {mean_cap}"
+        results["ia_maxsinr_solves_s"] = solves / dt
+        log(f"ia (pallas): {results['ia_maxsinr_solves_s']:.3e} "
+            f"solves/s (mean cap {mean_cap:.2f})")
+    except AssertionError:
+        raise
+    except Exception as exc:  # pragma: no cover - backend-dependent
+        results.setdefault("ia_maxsinr_solves_s",
+                           results["ia_maxsinr_xla_solves_s"])
+        log(f"ia pallas stage failed ({exc!r}); XLA number kept")
 
     # ---- (c) BD CoMP capacity ---------------------------------------
     def bd_step(key, _):
@@ -577,7 +619,8 @@ def main() -> None:
         "families": {k: r[k] for k in
                      ("alamouti_sym_s", "alamouti_xla_sym_s",
                       "alamouti_ber_10dB",
-                      "ia_maxsinr_solves_s", "bd_solves_s") if k in r},
+                      "ia_maxsinr_solves_s", "ia_maxsinr_xla_solves_s",
+                      "bd_solves_s") if k in r},
     }))
 
 

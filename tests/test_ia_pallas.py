@@ -1,0 +1,93 @@
+"""Tests for the Max-SINR IA Pallas kernel (ops/ia_pallas.py): the
+channel bits are injectable, so the CPU interpreter pins the full
+bit->capacity pipeline against the (already host-pinned) XLA solver
+``ia/batched.max_sinr_solve`` on IDENTICAL channel realizations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import erfinv
+
+from pyphysim_tpu.ia.batched import calc_sinrs, max_sinr_solve, sum_capacity
+from pyphysim_tpu.ops import cplx
+from pyphysim_tpu.ops.ia_pallas import CH_PLANES, MonteCarloMaxSinr
+from pyphysim_tpu.ops.mc_pallas import _u11
+
+CLIP = 0.99999994
+
+
+def _draw_bits(key, mc, reps, num_tiles):
+    return jax.random.bits(
+        key, (reps, num_tiles * mc._tile, CH_PLANES * mc._lane),
+        jnp.uint32)
+
+
+def _channels_from_bits(mc, ch_bits):
+    """(reps, rows, elements...) -> complex H of shape
+    (n_elem, 3, 3, 2, 2), exactly the kernel's bit->Gaussian map."""
+    lane = mc._lane
+    bits = np.asarray(ch_bits)
+    reps, rows, _ = bits.shape
+    planes = bits.reshape(reps, rows, CH_PLANES, lane)
+
+    def gauss(b):
+        return erfinv(np.clip(np.asarray(_u11(b)), -CLIP, CLIP))
+
+    H = np.zeros((reps, rows, lane, 3, 3, 2, 2), np.complex64)
+    idx = 0
+    for k in range(3):
+        for j in range(3):
+            for e in range(4):
+                re = gauss(planes[:, :, idx])
+                im = gauss(planes[:, :, idx + 1])
+                idx += 2
+                H[..., k, j, e // 2, e % 2] = re + 1j * im
+    return H.reshape(-1, 3, 3, 2, 2)
+
+
+class TestInjectMatchesXlaSolver:
+    def test_capacity_matches_xla_solver_per_batch(self):
+        """Kernel capacity sums vs the XLA max_sinr_solve chain on the
+        SAME channels: the svd-init + 10-iteration recursion is
+        deterministic, so the sums must agree to f32 accumulation
+        accuracy."""
+        mc = MonteCarloMaxSinr(tile=8, lane=128, iterations=6)
+        reps, nt = 1, 2
+        noise_var = 0.1
+        bits = _draw_bits(jax.random.PRNGKey(0), mc, reps, nt)
+        got = np.asarray(mc.build_inject(reps, nt)(bits, noise_var))
+
+        H = _channels_from_bits(mc, bits)
+        Hc = cplx.from_numpy(H)
+
+        def one(h):
+            F, U = max_sinr_solve(h, jax.random.PRNGKey(0), Ns=1,
+                                  noise_var=noise_var, iterations=6,
+                                  init="svd")
+            return sum_capacity(calc_sinrs(h, F, U, noise_var, 1.0))
+
+        caps = np.asarray(jax.jit(jax.vmap(one))(Hc))
+        caps = caps.reshape(reps, nt, mc._tile * mc._lane)
+        want = caps.sum(axis=-1)
+        np.testing.assert_allclose(got, want, rtol=3e-3)
+        # and the physics is plausible (bench IA_CAP_RANGE band)
+        mean_cap = got.sum() / (reps * nt * mc._tile * mc._lane)
+        assert 6.0 < mean_cap < 16.0, mean_cap
+
+    def test_noise_var_monotonicity(self):
+        """More noise -> less capacity, through the whole kernel."""
+        mc = MonteCarloMaxSinr(tile=8, lane=128, iterations=5)
+        bits = _draw_bits(jax.random.PRNGKey(3), mc, 1, 1)
+        fn = mc.build_inject(1, 1)
+        lo = float(np.asarray(fn(bits, 0.05)).sum())
+        hi = float(np.asarray(fn(bits, 0.5)).sum())
+        assert hi < lo
+
+    def test_iterations_improve_alignment(self):
+        """The recursion converges: 6 iterations beat 1 on average."""
+        mc1 = MonteCarloMaxSinr(tile=8, lane=128, iterations=1)
+        mc6 = MonteCarloMaxSinr(tile=8, lane=128, iterations=6)
+        bits = _draw_bits(jax.random.PRNGKey(5), mc1, 1, 1)
+        c1 = float(np.asarray(mc1.build_inject(1, 1)(bits, 0.1)).sum())
+        c6 = float(np.asarray(mc6.build_inject(1, 1)(bits, 0.1)).sum())
+        assert c6 > c1
