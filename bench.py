@@ -484,9 +484,50 @@ def _bench_families(results, log):
     mean_cap = total_cap / (batch * iters)
     lo, hi = BD_CAP_RANGE
     assert lo < mean_cap < hi, f"implausible BD mean capacity {mean_cap}"
-    results["bd_solves_s"] = batch * iters / dt
-    log(f"bd: {results['bd_solves_s']:.3e} solves/s "
+    results["bd_xla_solves_s"] = batch * iters / dt
+    log(f"bd (XLA chain): {results['bd_xla_solves_s']:.3e} solves/s "
         f"(mean cap {mean_cap:.2f})")
+
+    # ---- (c') BD CoMP VMEM-resident Pallas kernel -------------------
+    # the mc_pallas treatment applied to the BD family
+    # (ops/bd_pallas.py): projector-route null space as a 2x2-block
+    # Schur solve, closed-form eigenvalues, branch-free water-filling,
+    # all in VMEM plane arithmetic. Swept on v5e: 8 x 512 -> 5.2e8.
+    try:
+        from pyphysim_tpu.ops.bd_pallas import MonteCarloBD
+        mcb = MonteCarloBD(tile=8, lane=512)
+        reps_b, nt_b, iters_b = 128, 4, 500
+        bstep = mcb.build(reps_b, nt_b)
+
+        @jax.jit
+        def _brun(seed):
+            def body(carry, i):
+                return carry, jnp.sum(bstep(seed + i, 0))
+
+            _, per_step = jax.lax.scan(body, 0.0, jnp.arange(iters_b))
+            return per_step
+
+        def brun_many(seed) -> float:
+            return float(np.asarray(_brun(jnp.int32(seed)),
+                                    dtype=np.float64).sum())
+
+        solves = reps_b * nt_b * mcb.solves_per_grid_step * iters_b
+        log("bd-pallas: compiling + warmup")
+        brun_many(47)
+        t0 = time.perf_counter()
+        total_cap = brun_many(53)
+        dt = time.perf_counter() - t0
+        mean_cap = total_cap / solves
+        assert lo < mean_cap < hi, \
+            f"implausible BD kernel mean capacity {mean_cap}"
+        results["bd_solves_s"] = solves / dt
+        log(f"bd (pallas): {results['bd_solves_s']:.3e} solves/s "
+            f"(mean cap {mean_cap:.2f})")
+    except AssertionError:
+        raise
+    except Exception as exc:  # pragma: no cover - backend-dependent
+        results.setdefault("bd_solves_s", results["bd_xla_solves_s"])
+        log(f"bd pallas stage failed ({exc!r}); XLA number kept")
 
 
 def bench_ofdm_tdl():
@@ -620,7 +661,7 @@ def main() -> None:
                      ("alamouti_sym_s", "alamouti_xla_sym_s",
                       "alamouti_ber_10dB",
                       "ia_maxsinr_solves_s", "ia_maxsinr_xla_solves_s",
-                      "bd_solves_s") if k in r},
+                      "bd_solves_s", "bd_xla_solves_s") if k in r},
     }))
 
 

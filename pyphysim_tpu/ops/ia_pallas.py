@@ -42,40 +42,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mc_pallas import _u11
+from .pallas_planes import (EPS as _EPS, cabs2 as _cabs2, cadd as _cadd,
+                            cmul as _cmul, cmulc as _cmulc,
+                            cscale as _cscale, csub as _csub)
 
 __all__ = ["MonteCarloMaxSinr", "CH_PLANES"]
 
 K = 3
 CH_PLANES = K * K * 4 * 2   # 72: (k, j, entry, re/im)
 _CLIP = 0.99999994
-_EPS = 1e-30
-
-
-# ---- complex plane arithmetic (tuples of f32 planes) ---------------------
-
-def _cmul(a, b):
-    return (a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0])
-
-
-def _cmulc(a, b):
-    """a * conj(b)."""
-    return (a[0] * b[0] + a[1] * b[1], a[1] * b[0] - a[0] * b[1])
-
-
-def _cadd(a, b):
-    return (a[0] + b[0], a[1] + b[1])
-
-
-def _csub(a, b):
-    return (a[0] - b[0], a[1] - b[1])
-
-
-def _cscale(a, s):
-    return (a[0] * s, a[1] * s)
-
-
-def _cabs2(a):
-    return a[0] * a[0] + a[1] * a[1]
 
 
 def _matvec(M, v):
@@ -113,9 +88,8 @@ def _herm_solve(B, v):
     det = jnp.maximum(p * r - _cabs2(q), _EPS)
     inv = 1.0 / det
     x0 = _csub(_cscale(v[0], r), _cmul(q, v[1]))
+    # adjugate row 2: p v1 - conj(q) v0, with conj(q) v0 = v0 conj(q)
     x1 = _csub(_cscale(v[1], p), _cmulc(v[0], q))
-    # NOTE: x1 = p v1 - conj(q) v0 = conj(cmulc(v0, q))? careful:
-    # cmulc(v0, q) = v0 * conj(q) — exactly the needed term.
     return (_cscale(x0, inv), _cscale(x1, inv))
 
 

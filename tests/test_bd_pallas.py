@@ -1,0 +1,97 @@
+"""Tests for the BD CoMP capacity Pallas kernel (ops/bd_pallas.py):
+channel bits are injectable, so the CPU interpreter pins the full
+bit->capacity pipeline against the (already host-pinned) XLA chain
+``comm/batched.bd_precoders_batched`` + normalized water-filling on
+IDENTICAL channel realizations (the bench's bd_step semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import erfinv
+
+from pyphysim_tpu.comm import bd_precoders_batched
+from pyphysim_tpu.ops import cplx
+from pyphysim_tpu.ops.bd_pallas import CH_PLANES, MonteCarloBD
+from pyphysim_tpu.ops.mc_pallas import _u11
+
+CLIP = 0.99999994
+
+
+def _draw_bits(key, mc, reps, num_tiles):
+    return jax.random.bits(
+        key, (reps, num_tiles * mc._tile, CH_PLANES * mc._lane),
+        jnp.uint32)
+
+
+def _channels_from_bits(mc, ch_bits):
+    lane = mc._lane
+    bits = np.asarray(ch_bits)
+    reps, rows, _ = bits.shape
+    planes = bits.reshape(reps, rows, CH_PLANES, lane)
+
+    def gauss(b):
+        return erfinv(np.clip(np.asarray(_u11(b)), -CLIP, CLIP))
+
+    H = np.zeros((reps, rows, lane, 6, 6), np.complex64)
+    idx = 0
+    for i in range(6):
+        for j in range(6):
+            H[..., i, j] = (gauss(planes[:, :, idx]) +
+                            1j * gauss(planes[:, :, idx + 1]))
+            idx += 2
+    return H.reshape(-1, 6, 6)
+
+
+def _xla_caps(H, iPu=10.0 / 3, noise_var=1.0):
+    """The bench's bd_step on explicit channels (bench.py)."""
+
+    def one(h):
+        _, Ms, Sigma = bd_precoders_batched(h, 3, iPu, noise_var,
+                                            "normalized")
+        p = jnp.sum(Ms.re ** 2 + Ms.im ** 2, axis=-2)
+        cap = jnp.sum(jnp.log2(1.0 + p * Sigma ** 2))
+        ok = jnp.min(Sigma) > 1e-6 * jnp.max(Sigma)
+        return jnp.where(jnp.isfinite(cap) & ok, cap, 0.0)
+
+    return np.asarray(jax.jit(jax.vmap(one))(cplx.from_numpy(H)))
+
+
+class TestInjectMatchesXlaChain:
+    def test_capacity_matches_xla_chain_per_batch(self):
+        mc = MonteCarloBD(tile=8, lane=128)
+        reps, nt = 1, 2
+        bits = _draw_bits(jax.random.PRNGKey(0), mc, reps, nt)
+        got = np.asarray(mc.build_inject(reps, nt)(bits))
+
+        H = _channels_from_bits(mc, bits)
+        caps = _xla_caps(H).reshape(reps, nt, mc._tile * mc._lane)
+        want = caps.sum(axis=-1)
+        np.testing.assert_allclose(got, want, rtol=3e-3)
+        mean_cap = got.sum() / (reps * nt * mc._tile * mc._lane)
+        assert 5.0 < mean_cap < 16.0, mean_cap  # bench BD_CAP_RANGE
+
+    def test_power_budget_respected(self):
+        """The implied per-stream powers never exceed the per-BS
+        budget: capacity computed with the FULL per-BS budget on every
+        stream upper-bounds the kernel's."""
+        mc = MonteCarloBD(tile=8, lane=128)
+        bits = _draw_bits(jax.random.PRNGKey(2), mc, 1, 1)
+        got = float(np.asarray(mc.build_inject(1, 1)(bits)).sum())
+        H = _channels_from_bits(mc, bits)
+
+        def upper(h):
+            _, _, Sigma = bd_precoders_batched(h, 3, 10.0 / 3, 1.0,
+                                               "none")
+            return jnp.sum(jnp.log2(1.0 + 10.0 * Sigma ** 2))
+
+        ub = float(np.asarray(jax.jit(jax.vmap(upper))(
+            cplx.from_numpy(H))).sum())
+        assert 0.0 < got < ub
+
+    def test_noise_var_monotonicity(self):
+        mc_lo = MonteCarloBD(tile=8, lane=128, noise_var=0.5)
+        mc_hi = MonteCarloBD(tile=8, lane=128, noise_var=2.0)
+        bits = _draw_bits(jax.random.PRNGKey(3), mc_lo, 1, 1)
+        lo = float(np.asarray(mc_lo.build_inject(1, 1)(bits)).sum())
+        hi = float(np.asarray(mc_hi.build_inject(1, 1)(bits)).sum())
+        assert hi < lo
