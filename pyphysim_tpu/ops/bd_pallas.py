@@ -74,9 +74,11 @@ class MonteCarloBD:
 
     # ------------------------------------------------------------------
 
-    def _solve_block(self, planes):
+    def _solve_block(self, planes, noise_var=None, iPu=None):
         """planes: CH_PLANES (tile, lane) bit planes -> (tile, lane)
-        f32 capacity (0 for degenerate/invalid draws)."""
+        f32 capacity (0 for degenerate/invalid draws). ``noise_var`` /
+        ``iPu`` override the constructor values with traced scalars
+        (used by the test harness to share one compiled program)."""
 
         def gauss(bits):
             return jax.lax.erf_inv(jnp.clip(_u11(bits), -_CLIP, _CLIP))
@@ -122,8 +124,11 @@ class MonteCarloBD:
 
         # branch-free water-filling over the 6 stream gains — the
         # plane-arithmetic instance of comm/waterfilling.doWF_jit
-        nv = jnp.float32(self._nv)
-        total_power = jnp.float32(K * self._iPu)
+        nv = (jnp.float32(self._nv) if noise_var is None
+              else jnp.asarray(noise_var, jnp.float32))
+        ipu = (jnp.float32(self._iPu) if iPu is None
+               else jnp.asarray(iPu, jnp.float32))
+        total_power = jnp.float32(K) * ipu
         inv = [nv / jnp.maximum(g, EPS) for g in gains]
         n = len(inv)
         rank = []
@@ -158,7 +163,7 @@ class MonteCarloBD:
         user_p = [powers[2 * k] + powers[2 * k + 1] for k in range(K)]
         max_p = jnp.maximum(jnp.maximum(user_p[0], user_p[1]),
                             user_p[2])
-        scale2 = jnp.float32(self._iPu) / jnp.maximum(max_p, EPS)
+        scale2 = ipu / jnp.maximum(max_p, EPS)
 
         cap = None
         for p, g in zip(powers, gains):

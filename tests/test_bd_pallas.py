@@ -7,6 +7,7 @@ IDENTICAL channel realizations (the bench's bd_step semantics)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.special import erfinv
 
 from pyphysim_tpu.comm import bd_precoders_batched
@@ -56,12 +57,53 @@ def _xla_caps(H, iPu=10.0 / 3, noise_var=1.0):
     return np.asarray(jax.jit(jax.vmap(one))(cplx.from_numpy(H)))
 
 
+_DIRECT_CACHE = {}
+
+
+def _direct_caps(mc, bits, noise_var):
+    """Kernel math as a plain jitted jax function with noise_var
+    TRACED — one XLA:CPU compile per kernel shape for the module (the
+    pallas plumbing is covered by test_inject_plumbing)."""
+    lane = mc._lane
+    reps, rows, _ = bits.shape
+    nt = rows // mc._tile
+    key = (mc._tile, lane, reps, nt)
+    if key not in _DIRECT_CACHE:
+        @jax.jit
+        def run(b, nv):
+            blocks = b.reshape(reps * nt, mc._tile, CH_PLANES, lane)
+
+            def one(block):
+                planes = [block[:, i] for i in range(CH_PLANES)]
+                return mc._solve_block(planes, noise_var=nv)
+
+            return jax.vmap(one)(blocks).reshape(reps, nt, -1)
+
+        _DIRECT_CACHE[key] = run
+    per_elem = np.asarray(_DIRECT_CACHE[key](
+        bits.astype(jnp.int32), jnp.float32(noise_var)))
+    return per_elem.sum(axis=-1), per_elem
+
+
 class TestInjectMatchesXlaChain:
+    @pytest.mark.heavy  # ~25 s of interpreter; the IDENTICAL inject
+    # plumbing pattern (one tensor, per-plane lane slicing) is covered
+    # by default in test_ia_pallas.py::test_inject_plumbing, and the
+    # TPU-PRNG build() path runs on hardware in every bench
+    def test_inject_plumbing(self):
+        """The pallas_call inject wrapper reproduces the direct
+        _solve_block math (one small interpreter run)."""
+        mc = MonteCarloBD(tile=8, lane=128)
+        bits = _draw_bits(jax.random.PRNGKey(9), mc, 1, 1)
+        got = np.asarray(mc.build_inject(1, 1)(bits))
+        want, _ = _direct_caps(mc, bits, 1.0)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
     def test_capacity_matches_xla_chain_per_batch(self):
         mc = MonteCarloBD(tile=8, lane=128)
-        reps, nt = 1, 2
+        reps, nt = 1, 1
         bits = _draw_bits(jax.random.PRNGKey(0), mc, reps, nt)
-        got = np.asarray(mc.build_inject(reps, nt)(bits))
+        got, _ = _direct_caps(mc, bits, 1.0)
 
         H = _channels_from_bits(mc, bits)
         caps = _xla_caps(H).reshape(reps, nt, mc._tile * mc._lane)
@@ -76,7 +118,7 @@ class TestInjectMatchesXlaChain:
         stream upper-bounds the kernel's."""
         mc = MonteCarloBD(tile=8, lane=128)
         bits = _draw_bits(jax.random.PRNGKey(2), mc, 1, 1)
-        got = float(np.asarray(mc.build_inject(1, 1)(bits)).sum())
+        got = float(_direct_caps(mc, bits, 1.0)[0].sum())
         H = _channels_from_bits(mc, bits)
 
         def upper(h):
@@ -89,9 +131,8 @@ class TestInjectMatchesXlaChain:
         assert 0.0 < got < ub
 
     def test_noise_var_monotonicity(self):
-        mc_lo = MonteCarloBD(tile=8, lane=128, noise_var=0.5)
-        mc_hi = MonteCarloBD(tile=8, lane=128, noise_var=2.0)
-        bits = _draw_bits(jax.random.PRNGKey(3), mc_lo, 1, 1)
-        lo = float(np.asarray(mc_lo.build_inject(1, 1)(bits)).sum())
-        hi = float(np.asarray(mc_hi.build_inject(1, 1)(bits)).sum())
+        mc = MonteCarloBD(tile=8, lane=128)
+        bits = _draw_bits(jax.random.PRNGKey(3), mc, 1, 1)
+        lo = float(_direct_caps(mc, bits, 0.5)[0].sum())
+        hi = float(_direct_caps(mc, bits, 2.0)[0].sum())
         assert hi < lo
