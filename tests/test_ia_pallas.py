@@ -80,7 +80,7 @@ class TestInjectMatchesXlaSolver:
     def test_inject_plumbing(self):
         """The pallas_call inject wrapper reproduces the direct
         _solve_block math (one small interpreter run)."""
-        mc = MonteCarloMaxSinr(tile=8, lane=128, iterations=2)
+        mc = MonteCarloMaxSinr(tile=8, lane=128, iterations=1)
         bits = _draw_bits(jax.random.PRNGKey(9), mc, 1, 1)
         got = np.asarray(mc.build_inject(1, 1)(bits, 0.1))
         want, _ = _direct_caps(mc, bits, 0.1)
@@ -88,10 +88,11 @@ class TestInjectMatchesXlaSolver:
 
     def test_capacity_matches_xla_solver_per_batch(self):
         """Kernel capacity sums vs the XLA max_sinr_solve chain on the
-        SAME channels: the svd-init + 10-iteration recursion is
+        SAME channels: the svd-init fixed-iteration recursion is
         deterministic, so the sums must agree to f32 accumulation
-        accuracy."""
-        mc = MonteCarloMaxSinr(tile=8, lane=128, iterations=6)
+        accuracy (4 iterations here — the same unrolled code path as
+        the bench's 10, sized for CI compile time)."""
+        mc = MonteCarloMaxSinr(tile=8, lane=128, iterations=4)
         reps, nt = 1, 1
         noise_var = 0.1
         bits = _draw_bits(jax.random.PRNGKey(0), mc, reps, nt)
@@ -102,7 +103,7 @@ class TestInjectMatchesXlaSolver:
 
         def one(h):
             F, U = max_sinr_solve(h, jax.random.PRNGKey(0), Ns=1,
-                                  noise_var=noise_var, iterations=6,
+                                  noise_var=noise_var, iterations=4,
                                   init="svd")
             return sum_capacity(calc_sinrs(h, F, U, noise_var, 1.0))
 
@@ -116,17 +117,17 @@ class TestInjectMatchesXlaSolver:
 
     def test_noise_var_monotonicity(self):
         """More noise -> less capacity, through the whole kernel."""
-        mc = MonteCarloMaxSinr(tile=8, lane=128, iterations=6)
+        mc = MonteCarloMaxSinr(tile=8, lane=128, iterations=4)
         bits = _draw_bits(jax.random.PRNGKey(3), mc, 1, 1)
         lo = float(_direct_caps(mc, bits, 0.05)[0].sum())
         hi = float(_direct_caps(mc, bits, 0.5)[0].sum())
         assert hi < lo
 
     def test_iterations_improve_alignment(self):
-        """The recursion converges: 6 iterations beat 1 on average."""
+        """The recursion converges: 4 iterations beat 1 on average."""
         mc1 = MonteCarloMaxSinr(tile=8, lane=128, iterations=1)
-        mc6 = MonteCarloMaxSinr(tile=8, lane=128, iterations=6)
+        mc4 = MonteCarloMaxSinr(tile=8, lane=128, iterations=4)
         bits = _draw_bits(jax.random.PRNGKey(5), mc1, 1, 1)
         c1 = float(_direct_caps(mc1, bits, 0.1)[0].sum())
-        c6 = float(_direct_caps(mc6, bits, 0.1)[0].sum())
-        assert c6 > c1
+        c4 = float(_direct_caps(mc4, bits, 0.1)[0].sum())
+        assert c4 > c1
