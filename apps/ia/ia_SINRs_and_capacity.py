@@ -36,6 +36,9 @@ def main():
     parser.add_argument("--crosscheck", type=int, default=0,
                         help="also run the host ClosedForm solver on this "
                              "many realizations and assert agreement")
+    parser.add_argument("--solvers", default="all",
+                        help="comma list from {minleakage,maxsinr,mmse,"
+                             "altmin,closedform} (default all five)")
     args = parser.parse_args()
 
     K, Nr, Nt, Ns = 3, 4, 4, 2
@@ -48,31 +51,44 @@ def main():
     H = randn_c(kH, reps, K, K, Nr, Nt)
     keys = jax.random.split(kF, reps)
 
+    menu = {
+        "minleakage": ("Min. Leakage",
+                       lambda h, k: batched.min_leakage_solve(
+                           h, k, Ns, 1.0, iterations=args.iters)),
+        "maxsinr": ("Max SINR",
+                    lambda h, k: batched.max_sinr_solve(
+                        h, k, Ns, 1.0, noise_var,
+                        iterations=args.iters)),
+        "mmse": ("MMSE",
+                 lambda h, k: batched.mmse_solve(
+                     h, k, Ns, 1.0, noise_var, iterations=args.iters)),
+        "altmin": ("Alt Min",
+                   lambda h, k: batched.alt_min_solve(
+                       h, k, Ns, 1.0, iterations=args.iters)),
+        "closedform": ("Closed Form",
+                       lambda h, k: batched.closed_form_solve(
+                           h, Ns, 1.0, noise_var)),
+    }
+    chosen = (list(menu) if args.solvers == "all"
+              else [x.strip() for x in args.solvers.split(",")])
+    unknown = [x for x in chosen if x not in menu]
+    if unknown:
+        parser.error(f"unknown solvers: {unknown}")
+
     @jax.jit
     def solve_all(H, keys):
         def per_channel(h, k):
-            f1, u1 = batched.min_leakage_solve(h, k, Ns, 1.0,
-                                               iterations=args.iters)
-            s1 = batched.calc_sinrs(h, f1, u1, noise_var)
-            f2, u2 = batched.max_sinr_solve(h, k, Ns, 1.0, noise_var,
-                                            iterations=args.iters)
-            s2 = batched.calc_sinrs(h, f2, u2, noise_var)
-            f3, u3 = batched.mmse_solve(h, k, Ns, 1.0, noise_var,
-                                        iterations=args.iters)
-            s3 = batched.calc_sinrs(h, f3, u3, noise_var)
-            f4, u4 = batched.alt_min_solve(h, k, Ns, 1.0,
-                                           iterations=args.iters)
-            s4 = batched.calc_sinrs(h, f4, u4, noise_var)
-            f5, u5 = batched.closed_form_solve(h, Ns, 1.0, noise_var)
-            s5 = batched.calc_sinrs(h, f5, u5, noise_var)
-            return (batched.sum_capacity(s1), batched.sum_capacity(s2),
-                    batched.sum_capacity(s3), batched.sum_capacity(s4),
-                    batched.sum_capacity(s5))
+            out = []
+            for name in chosen:
+                f, u = menu[name][1](h, k)
+                out.append(batched.sum_capacity(
+                    batched.calc_sinrs(h, f, u, noise_var)))
+            return tuple(out)
 
         return jax.vmap(per_channel)(H, keys)
 
-    caps = dict(zip(("Min. Leakage", "Max SINR", "MMSE", "Alt Min",
-                     "Closed Form"), map(np.asarray, solve_all(H, keys))))
+    caps = dict(zip((menu[n][0] for n in chosen),
+                    map(np.asarray, solve_all(H, keys))))
 
     print(f"SNR {args.snr} dB, {reps} channels, {args.iters} iterations, "
           f"{K} users {Nr}x{Nt}({Ns})")

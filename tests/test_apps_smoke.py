@@ -135,7 +135,8 @@ class TestIaApps:
         from apps.ia.ia_SINRs_and_capacity import main
         monkeypatch.setattr(sys, "argv",
                             ["ia_SINRs_and_capacity.py", "--reps", "4",
-                             "--iters", "5", "--crosscheck", "4"])
+                             "--iters", "5", "--crosscheck", "4",
+                             "--solvers", "altmin,closedform"])
         main()
         out = capsys.readouterr().out
         assert "Alt Min" in out and "Closed Form" in out
@@ -236,7 +237,7 @@ class TestBatchedStreamSelection:
         histogram and greedy-bound semantics survive. The two-point
         cap-monotonicity variant is the heavy sibling below."""
         from apps.ia.batched_stream_selection import StreamSelectionRunner
-        r = StreamSelectionRunner(iters=4, reps=6)
+        r = StreamSelectionRunner(iters=3, reps=6)
         r.params.add("SNR", np.array([20.0]))
         r.simulate()
         hist = r.results["stream_choice"][0].get_result()

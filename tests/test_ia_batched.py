@@ -581,6 +581,11 @@ class TestGreedyStreamSearch:
             assert abs(dev_best - host_best) / host_best < 0.07, \
                 (seed, dev_best, host_best)
 
+    @pytest.mark.heavy  # the SAME by-construction bound is asserted
+    # in the default profile by the app-level smoke test
+    # (test_apps_smoke histogram: greedy_capacity_ratio <= 1 over a
+    # repetition sweep); this direct vmapped variant compiles the
+    # brute+greedy programs a second time
     def test_greedy_bounded_by_brute_force_same_policy(self):
         """VERDICT round-2 item 7: under ONE optimizer policy
         (candidate_init='svd' — every greedy candidate is exactly the
