@@ -458,11 +458,14 @@ def _bench_families(results, log):
 
     # ---- (c) BD CoMP capacity ---------------------------------------
     def bd_step(key, _):
+        noise_var = 1.0
         H = randn_c(key, 6, 6)
-        _, Ms, Sigma = bd_precoders_batched(H, 3, 10.0 / 3, 1.0,
+        _, Ms, Sigma = bd_precoders_batched(H, 3, 10.0 / 3, noise_var,
                                             "normalized")
         p = jnp.sum(Ms.re ** 2 + Ms.im ** 2, axis=-2)
-        cap = jnp.sum(jnp.log2(1.0 + p * Sigma ** 2))
+        # per-stream SNR = p sigma^2 / noise_var (the noise_var knob
+        # applies to the capacity term too, matching ops/bd_pallas.py)
+        cap = jnp.sum(jnp.log2(1.0 + p * Sigma ** 2 / noise_var))
         # rare degenerate draws (~1e-5 of a 1e5-draw run) zero out
         # instead of NaN-poisoning the mean — the runner-path __valid__
         # skip semantics, inlined

@@ -3,12 +3,16 @@
 VMEM-resident counterpart of the batched Block Diagonalization sweep
 (``comm/batched.bd_precoders_batched`` + normalized water-filling +
 sum capacity — reference ``comm/blockdiagonalization.py:181-663`` /
-the comp_BD app family) for the bench scenario K=3, Nr_u=2,
-Nt_total=6: each (row, lane) element draws its own 6x6 joint channel
-from the in-kernel TPU PRNG and runs the ENTIRE solve as pure plane
-arithmetic (:mod:`.pallas_planes`) — the projector-route null space
-via a 2x2-block Schur solve, closed-form 2x2 Hermitian eigenvalues,
-the rank-based branch-free water-filling of
+the comp_BD app family), geometry-general over ``K`` users with
+``Nr_u`` receive antennas each and a square joint transmitter
+``Nt_total = K * Nr_u`` (the reference solver's shape-general surface,
+``blockdiagonalization.py:272-401``, at kernel speed for
+K in {2, 3, 4, ...} x Nr_u in {1, 2}): each (row, lane) element draws
+its own Nt x Nt joint channel from the in-kernel TPU PRNG and runs the
+ENTIRE solve as pure plane arithmetic (:mod:`.pallas_planes`) — the
+projector-route null space via an unrolled LDL^H solve of the
+(K-1)*Nr_u Hermitian Gram system, closed-form 1x1/2x2 Hermitian
+eigenvalues, the rank-based branch-free water-filling of
 :func:`~..comm.waterfilling.doWF_jit`, and the per-BS normalization —
 with one f32 capacity sum per grid step as the only HBM traffic.
 
@@ -19,15 +23,17 @@ chain it mirrors:
   capacity: the stream-aligned null-space basis ``V = T^H U / s`` has
   orthonormal columns, so the per-stream transmit powers after
   water-filling and per-BS rescaling are the water-filling powers
-  themselves — ``V`` (and the 6x6 precoder matrix) is never formed;
+  themselves — ``V`` (and the Nt x Nt precoder matrix) is never formed;
 * the null-space system ``B X = tilde_H`` with ``B = tilde_H
-  tilde_H^H`` (4x4 HPD) splits into two closed-form 2x2 Hermitian
-  solves through one Schur complement — the plane-arithmetic instance
-  of :func:`~.cplx.hpd_inv`'s recursion.
+  tilde_H^H`` Hermitian positive-definite is solved by a square-root-
+  free LDL^H factorization unrolled at trace time
+  (:func:`~.pallas_planes.herm_solve_cols_ldl`) — the plane-arithmetic
+  instance of :func:`~.cplx.hpd_inv`'s recursion, for any block size.
 
 The math is pinned per-batch against the XLA chain on identical
-channel realizations (inject mode, tests/test_bd_pallas.py); the XLA
-path (``comm/batched.py``) remains the general-geometry tool.
+channel realizations across the geometry menu (inject mode,
+tests/test_bd_pallas.py); the XLA path (``comm/batched.py``) remains
+the fully-general (non-square, ragged) tool.
 """
 
 from __future__ import annotations
@@ -39,51 +45,66 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mc_pallas import _u11
-from .pallas_planes import (EPS, cabs2, cadd, cmul, cmulc, csub, gram_rows,
-                            herm2_eigvals, herm2_solve_cols, mat_H, mat_mul,
-                            mat_sub)
+from .pallas_planes import (EPS, cabs2, gram_full, gram_rows,
+                            herm2_eigvals, herm_solve_cols_ldl, mat_H,
+                            mat_mul, mat_sub)
 
 __all__ = ["MonteCarloBD", "CH_PLANES"]
 
-K = 3
-NR = 2
-NT = K * NR                      # 6 (square CoMP bench geometry)
-CH_PLANES = NT * NT * 2          # 72
+# default (bench) geometry: K=3 users x 2 rx antennas, Nt_total=6
+CH_PLANES = 6 * 6 * 2            # 72
 _CLIP = 0.99999994
 
 
 class MonteCarloBD:
-    """Builder for the single-kernel BD CoMP capacity sweep (K=3,
-    Nr_u=2, Nt_total=6, normalized water-filling — the bench's
-    ``bd_step`` scenario, bench.py).
+    """Builder for the single-kernel BD CoMP capacity sweep over the
+    square geometry ``(K, Nr_u, Nt_total = K * Nr_u)`` with normalized
+    water-filling (the comp_BD scenario family; bench.py's ``bd_step``
+    is the K=3, Nr_u=2 point).
 
     ``tile`` rows x ``lane`` lanes of independent realizations per
     grid step. Solves per call: ``reps * num_tiles * tile * lane``.
     """
 
     def __init__(self, tile: int = 8, lane: int = 512,
-                 iPu: float = 10.0 / 3, noise_var: float = 1.0) -> None:
+                 iPu: float = 10.0 / 3, noise_var: float = 1.0,
+                 K: int = 3, Nr_u: int = 2) -> None:
         if tile < 8 or tile % 8:
             raise ValueError("tile must be a multiple of 8")
         if lane < 128 or lane % 128:
             raise ValueError("lane must be a multiple of 128")
+        if K < 2:
+            raise ValueError("K must be >= 2")
+        if Nr_u not in (1, 2):
+            raise ValueError("Nr_u must be 1 or 2 (closed-form "
+                             "per-user eigenvalues)")
         self._tile = int(tile)
         self._lane = int(lane)
         self._iPu = float(iPu)
         self._nv = float(noise_var)
+        self._K = int(K)
+        self._NR = int(Nr_u)
+
+    @property
+    def num_planes(self) -> int:
+        """Channel bit planes per block: Nt*Nt complex entries x 2."""
+        nt = self._K * self._NR
+        return nt * nt * 2
 
     # ------------------------------------------------------------------
 
     def _solve_block(self, planes, noise_var=None, iPu=None):
-        """planes: CH_PLANES (tile, lane) bit planes -> (tile, lane)
+        """planes: num_planes (tile, lane) bit planes -> (tile, lane)
         f32 capacity (0 for degenerate/invalid draws). ``noise_var`` /
         ``iPu`` override the constructor values with traced scalars
         (used by the test harness to share one compiled program)."""
+        K, NR = self._K, self._NR
+        NT = K * NR
 
         def gauss(bits):
             return jax.lax.erf_inv(jnp.clip(_u11(bits), -_CLIP, _CLIP))
 
-        # H as a (6, 6) plane matrix; components ~ N(0, 1/2) per part
+        # H as an (NT, NT) plane matrix; components ~ N(0, 1/2) per part
         H = []
         idx = 0
         for i in range(NT):
@@ -96,33 +117,28 @@ class MonteCarloBD:
         gains = []
         for k in range(K):
             others = [i for i in range(NT) if i // NR != k]
-            t_top = [H[others[0]], H[others[1]]]
-            t_bot = [H[others[2]], H[others[3]]]
-            Hk = [H[NR * k], H[NR * k + 1]]
-            # B = tilde tilde^H, solved blockwise (Schur complement):
-            A = gram_rows(t_top)
-            D = gram_rows(t_bot)
-            C = mat_mul(t_top, mat_H(t_bot))          # (2, 2)
-            Ai_ttop = herm2_solve_cols(A, t_top)      # A^{-1} t_top
-            Ai_C = herm2_solve_cols(A, C)             # A^{-1} C
-            CH_ = mat_H(C)
-            M = mat_mul(CH_, Ai_C)                    # C^H A^{-1} C
-            S = (D[0] - M[0][0][0],
-                 csub(D[1], M[0][1]),
-                 D[2] - M[1][1][0])
-            rhs_bot = mat_sub(t_bot, mat_mul(CH_, Ai_ttop))
-            Xb = herm2_solve_cols(S, rhs_bot)         # (2, 6)
-            Xt = mat_sub(Ai_ttop, mat_mul(Ai_C, Xb))  # (2, 6)
-            # T = Hk (I - tilde^H B^{-1} tilde) = Hk - Y_top Xt - Y_bot Xb
-            Y_top = mat_mul(Hk, mat_H(t_top))         # (2, 2)
-            Y_bot = mat_mul(Hk, mat_H(t_bot))
-            T = mat_sub(mat_sub(Hk, mat_mul(Y_top, Xt)),
-                        mat_mul(Y_bot, Xb))
-            l0, l1 = herm2_eigvals(gram_rows(T))
-            gains.append(jnp.maximum(l0, 0.0))        # sigma^2, desc
-            gains.append(jnp.maximum(l1, 0.0))
+            tilde = [H[i] for i in others]            # (m, NT)
+            Hk = [H[NR * k + t] for t in range(NR)]   # (NR, NT)
+            # null-space projector route: B = tilde tilde^H (HPD),
+            # T = Hk (I - tilde^H B^{-1} tilde). Solving W = B^{-1} Y^H
+            # (NR columns) instead of B^{-1} tilde (NT columns) does
+            # the same projection with NT/NR x fewer substitution
+            # columns: T = Hk - (Y B^{-1}) tilde = Hk - W^H tilde.
+            B = gram_full(tilde)
+            Y = mat_mul(Hk, mat_H(tilde))             # (NR, m)
+            W = herm_solve_cols_ldl(B, mat_H(Y))      # (m, NR)
+            T = mat_sub(Hk, mat_mul(mat_H(W), tilde))  # (NR, NT)
+            if NR == 1:
+                g = cabs2(T[0][0])
+                for j in range(1, NT):
+                    g = g + cabs2(T[0][j])
+                gains.append(jnp.maximum(g, 0.0))     # sigma^2
+            else:
+                l0, l1 = herm2_eigvals(gram_rows(T))
+                gains.append(jnp.maximum(l0, 0.0))    # sigma^2, desc
+                gains.append(jnp.maximum(l1, 0.0))
 
-        # branch-free water-filling over the 6 stream gains — the
+        # branch-free water-filling over the K*NR stream gains — the
         # plane-arithmetic instance of comm/waterfilling.doWF_jit
         nv = (jnp.float32(self._nv) if noise_var is None
               else jnp.asarray(noise_var, jnp.float32))
@@ -160,14 +176,19 @@ class MonteCarloBD:
         # per-BS normalization (blockdiagonalization.py:403-464): the
         # stream basis columns are orthonormal, so the per-user block
         # power is just the sum of its stream powers
-        user_p = [powers[2 * k] + powers[2 * k + 1] for k in range(K)]
-        max_p = jnp.maximum(jnp.maximum(user_p[0], user_p[1]),
-                            user_p[2])
+        user_p = [sum(powers[NR * k + t] for t in range(NR))
+                  for k in range(K)]
+        max_p = user_p[0]
+        for up in user_p[1:]:
+            max_p = jnp.maximum(max_p, up)
         scale2 = ipu / jnp.maximum(max_p, EPS)
 
+        # per-stream SNR = p * scale2 * g / nv (the noise_var knob
+        # applies to the capacity term too, not only the water level)
+        inv_nv = 1.0 / nv
         cap = None
         for p, g in zip(powers, gains):
-            c = jnp.log2(1.0 + p * scale2 * g)
+            c = jnp.log2(1.0 + p * scale2 * g * inv_nv)
             cap = c if cap is None else cap + c
 
         # degeneracy guard — scale-relative, as in bench.py bd_step and
@@ -182,11 +203,64 @@ class MonteCarloBD:
 
     # ------------------------------------------------------------------
 
-    def build(self, reps: int, num_tiles: int):
+    def build(self, reps: int, num_tiles: int, mesh=None,
+              axis: str = "mc"):
         """Jitted ``(seed:int32[, start]) -> (reps, num_tiles) f32``
         per-tile capacity sums; channels from the hardware PRNG with
-        streams keyed by the ABSOLUTE repetition index."""
+        streams keyed by the ABSOLUTE repetition index.
+
+        ``mesh``: shard the rep axis over ``mesh.shape[axis]`` devices
+        with :func:`shard_map` — each device runs the same kernel over
+        its contiguous rep slice with ``start`` advanced by
+        ``device_index * reps_local``, so the result is BIT-IDENTICAL
+        to the unsharded call (the absolute-index stream contract of
+        :meth:`.mc_pallas.MonteCarloOfdmTdl.build`; SURVEY §2.11 P2,
+        reference dispatch runner.py:1774-1886)."""
+        if mesh is None:
+            call = self._make_prng_call(reps, num_tiles)
+
+            @jax.jit
+            def run(seed, start=0):
+                seeds = jnp.stack([jnp.asarray(seed, jnp.int32),
+                                   jnp.asarray(start, jnp.int32)])
+                return call(seeds)
+
+            return run
+
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(mesh.shape[axis])
+        if reps % n_dev:
+            raise ValueError(f"reps {reps} not divisible by mesh axis "
+                             f"{axis!r} size {n_dev}")
+        reps_local = reps // n_dev
+        call = self._make_prng_call(reps_local, num_tiles)
+
+        def local(seeds):
+            i = jax.lax.axis_index(axis)
+            seeds = seeds.at[1].add(i * reps_local)
+            return call(seeds)
+
+        sharded = shard_map(local, mesh=mesh, in_specs=(P(),),
+                            out_specs=P(axis), check_vma=False)
+        replicated = NamedSharding(mesh, P())
+
+        @jax.jit
+        def run(seed, start=0):
+            seeds = jnp.stack([jnp.asarray(seed, jnp.int32),
+                               jnp.asarray(start, jnp.int32)])
+            out = sharded(seeds)
+            return jax.lax.with_sharding_constraint(out, replicated)
+
+        return run
+
+    def _make_prng_call(self, reps: int, num_tiles: int):
+        """The raw hardware-PRNG pallas_call over a (reps, num_tiles)
+        grid; ``seed_ref = [seed, start]`` keys every stream by the
+        ABSOLUTE repetition index ``start + r``."""
         tile, lane = self._tile, self._lane
+        num_planes = self.num_planes
 
         def kernel(seed_ref, out_ref):
             r = pl.program_id(0)
@@ -194,10 +268,10 @@ class MonteCarloBD:
             r_abs = seed_ref[1] + r
             pltpu.prng_seed(seed_ref[0], r_abs * num_tiles + s)
             planes = [pltpu.prng_random_bits((tile, lane))
-                      for _ in range(CH_PLANES)]
+                      for _ in range(num_planes)]
             out_ref[r, s] = jnp.sum(self._solve_block(planes))
 
-        call = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid=(reps, num_tiles),
             out_shape=jax.ShapeDtypeStruct((reps, num_tiles),
@@ -206,28 +280,47 @@ class MonteCarloBD:
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         )
 
-        @jax.jit
-        def run(seed, start=0):
-            seeds = jnp.stack([jnp.asarray(seed, jnp.int32),
-                               jnp.asarray(start, jnp.int32)])
-            return call(seeds)
-
-        return run
-
     def build_inject(self, reps: int, num_tiles: int,
-                     interpret: bool = True):
+                     interpret: bool = True, mesh=None,
+                     axis: str = "mc"):
         """Same math with the channel bits supplied as ONE uint32
-        tensor ``(reps, num_tiles * tile, CH_PLANES * lane)`` (plane i
+        tensor ``(reps, num_tiles * tile, num_planes * lane)`` (plane i
         at lanes [i*lane, (i+1)*lane)): ``fn(ch_bits) ->
-        (reps, num_tiles) f32``."""
+        (reps, num_tiles) f32``.
+
+        ``mesh`` shards the rep axis of the bit tensor — the
+        CPU-testable twin of the sharded TPU-PRNG mode (the bits carry
+        the absolute attempt index, so sharded == unsharded
+        bit-identically)."""
         tile, lane = self._tile, self._lane
+        num_planes = self.num_planes
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = int(mesh.shape[axis])
+            if reps % n_dev:
+                raise ValueError(f"reps {reps} not divisible by mesh "
+                                 f"axis {axis!r} size {n_dev}")
+            local = self.build_inject(reps // n_dev, num_tiles,
+                                      interpret)
+            sharded = shard_map(local, mesh=mesh, in_specs=(P(axis),),
+                                out_specs=P(axis), check_vma=False)
+            replicated = NamedSharding(mesh, P())
+
+            @jax.jit
+            def run(ch_bits):
+                out = sharded(ch_bits)
+                return jax.lax.with_sharding_constraint(out, replicated)
+
+            return run
 
         def kernel(ch_ref, out_ref):
             r = pl.program_id(0)
             s = pl.program_id(1)
             block = ch_ref[0]
             planes = [block[:, i * lane:(i + 1) * lane]
-                      for i in range(CH_PLANES)]
+                      for i in range(num_planes)]
             out_ref[r, s] = jnp.sum(self._solve_block(planes))
 
         call = pl.pallas_call(
@@ -236,7 +329,7 @@ class MonteCarloBD:
             out_shape=jax.ShapeDtypeStruct((reps, num_tiles),
                                            jnp.float32),
             in_specs=[
-                pl.BlockSpec((1, tile, CH_PLANES * lane),
+                pl.BlockSpec((1, tile, num_planes * lane),
                              lambda r, s: (r, s, 0),
                              memory_space=pltpu.VMEM),
             ],

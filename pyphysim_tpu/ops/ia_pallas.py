@@ -125,7 +125,9 @@ def _dominant_right_singular(M):
 
 class MonteCarloMaxSinr:
     """Builder for the single-kernel Max-SINR IA Monte Carlo sweep
-    (K=3, Nr=Nt=2, Ns=1, 'svd' init).
+    (Nr=Nt=2, Ns=1, 'svd' init; ``K`` users — the geometry menu covers
+    the reference's shape-general solver surface,
+    algorithms.py:1243-1504, at kernel speed for K in {2, 3, 4, ...}).
 
     ``tile`` rows x ``lane`` lanes of independent realizations per grid
     step; ``num_tiles`` tiles per repetition. Solves per call:
@@ -133,21 +135,32 @@ class MonteCarloMaxSinr:
     """
 
     def __init__(self, tile: int = 8, lane: int = 512,
-                 iterations: int = 10, P: float = 1.0) -> None:
+                 iterations: int = 10, P: float = 1.0,
+                 K: int = 3) -> None:
         if tile < 8 or tile % 8:
             raise ValueError("tile must be a multiple of 8")
         if lane < 128 or lane % 128:
             raise ValueError("lane must be a multiple of 128")
+        if K < 2:
+            raise ValueError("K must be >= 2")
         self._tile = int(tile)
         self._lane = int(lane)
         self._iters = int(iterations)
         self._P = float(P)
+        self._K = int(K)
+
+    @property
+    def num_planes(self) -> int:
+        """Channel bit planes consumed per block: K*K 2x2 complex
+        matrices = K*K*4*2 (re/im) planes."""
+        return self._K * self._K * 4 * 2
 
     # ------------------------------------------------------------------
 
     def _solve_block(self, planes, noise_var):
-        """planes: list of CH_PLANES (tile, lane) uint32/int32 bit
+        """planes: list of ``num_planes`` (tile, lane) uint32/int32 bit
         planes -> (tile, lane) f32 sum capacity per element."""
+        K = self._K
         P = jnp.float32(self._P)
         nv = noise_var
 
@@ -220,12 +233,67 @@ class MonteCarloMaxSinr:
 
     # ------------------------------------------------------------------
 
-    def build(self, reps: int, num_tiles: int):
+    def build(self, reps: int, num_tiles: int, mesh=None,
+              axis: str = "mc"):
         """Jitted ``(seed:int32, noise_var[, start]) ->
         (reps, num_tiles) f32`` per-tile sum-capacity; channels drawn
         from the hardware PRNG with streams keyed by the ABSOLUTE
-        repetition index (runner bulk-path contract)."""
+        repetition index (runner bulk-path contract).
+
+        ``mesh``: shard the rep axis over ``mesh.shape[axis]`` devices
+        with :func:`shard_map` — each device runs the same kernel over
+        its contiguous rep slice with ``start`` advanced by
+        ``device_index * reps_local``, so the result is BIT-IDENTICAL
+        to the unsharded call (the absolute-index stream contract of
+        :meth:`.mc_pallas.MonteCarloOfdmTdl.build`; SURVEY §2.11 P2,
+        reference dispatch runner.py:1774-1886)."""
+        if mesh is None:
+            call = self._make_prng_call(reps, num_tiles)
+
+            @jax.jit
+            def run(seed, noise_var, start=0):
+                seeds = jnp.stack([jnp.asarray(seed, jnp.int32),
+                                   jnp.asarray(start, jnp.int32)])
+                return call(seeds, jnp.reshape(
+                    jnp.asarray(noise_var, jnp.float32), (1,)))
+
+            return run
+
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(mesh.shape[axis])
+        if reps % n_dev:
+            raise ValueError(f"reps {reps} not divisible by mesh axis "
+                             f"{axis!r} size {n_dev}")
+        reps_local = reps // n_dev
+        call = self._make_prng_call(reps_local, num_tiles)
+
+        def local(seeds, nv):
+            i = jax.lax.axis_index(axis)
+            seeds = seeds.at[1].add(i * reps_local)
+            return call(seeds, nv)
+
+        sharded = shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                            out_specs=P(axis), check_vma=False)
+        replicated = NamedSharding(mesh, P())
+
+        @jax.jit
+        def run(seed, noise_var, start=0):
+            seeds = jnp.stack([jnp.asarray(seed, jnp.int32),
+                               jnp.asarray(start, jnp.int32)])
+            out = sharded(seeds, jnp.reshape(
+                jnp.asarray(noise_var, jnp.float32), (1,)))
+            return jax.lax.with_sharding_constraint(out, replicated)
+
+        return run
+
+    def _make_prng_call(self, reps: int, num_tiles: int):
+        """The raw hardware-PRNG pallas_call over a (reps, num_tiles)
+        grid; ``seed_ref = [seed, start]`` keys every stream by the
+        ABSOLUTE repetition index ``start + r``."""
         tile, lane = self._tile, self._lane
+        num_planes = self.num_planes
 
         def kernel(seed_ref, nv_ref, out_ref):
             r = pl.program_id(0)
@@ -233,10 +301,10 @@ class MonteCarloMaxSinr:
             r_abs = seed_ref[1] + r
             pltpu.prng_seed(seed_ref[0], r_abs * num_tiles + s)
             planes = [pltpu.prng_random_bits((tile, lane))
-                      for _ in range(CH_PLANES)]
+                      for _ in range(num_planes)]
             out_ref[r, s] = self._solve_block(planes, nv_ref[0])
 
-        call = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid=(reps, num_tiles),
             out_shape=jax.ShapeDtypeStruct((reps, num_tiles),
@@ -246,29 +314,49 @@ class MonteCarloMaxSinr:
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         )
 
-        @jax.jit
-        def run(seed, noise_var, start=0):
-            seeds = jnp.stack([jnp.asarray(seed, jnp.int32),
-                               jnp.asarray(start, jnp.int32)])
-            return call(seeds, jnp.reshape(
-                jnp.asarray(noise_var, jnp.float32), (1,)))
-
-        return run
-
     def build_inject(self, reps: int, num_tiles: int,
-                     interpret: bool = True):
+                     interpret: bool = True, mesh=None,
+                     axis: str = "mc"):
         """Same math with the channel bits supplied as ONE uint32
         tensor ``(reps, num_tiles * tile, CH_PLANES * lane)`` (plane i
         occupies lanes [i*lane, (i+1)*lane)):
-        ``fn(ch_bits, noise_var) -> (reps, num_tiles) f32``."""
+        ``fn(ch_bits, noise_var) -> (reps, num_tiles) f32``.
+
+        ``mesh`` shards the rep axis of the bit tensor — the
+        CPU-testable twin of the sharded TPU-PRNG mode (the bits carry
+        the absolute attempt index, so sharded == unsharded
+        bit-identically)."""
         tile, lane = self._tile, self._lane
+        num_planes = self.num_planes
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = int(mesh.shape[axis])
+            if reps % n_dev:
+                raise ValueError(f"reps {reps} not divisible by mesh "
+                                 f"axis {axis!r} size {n_dev}")
+            local = self.build_inject(reps // n_dev, num_tiles,
+                                      interpret)
+            sharded = shard_map(local, mesh=mesh,
+                                in_specs=(P(axis), P()),
+                                out_specs=P(axis), check_vma=False)
+            replicated = NamedSharding(mesh, P())
+
+            @jax.jit
+            def run(ch_bits, noise_var):
+                out = sharded(ch_bits, jnp.asarray(noise_var,
+                                                   jnp.float32))
+                return jax.lax.with_sharding_constraint(out, replicated)
+
+            return run
 
         def kernel(nv_ref, ch_ref, out_ref):
             r = pl.program_id(0)
             s = pl.program_id(1)
             block = ch_ref[0]
             planes = [block[:, i * lane:(i + 1) * lane]
-                      for i in range(CH_PLANES)]
+                      for i in range(num_planes)]
             out_ref[r, s] = self._solve_block(planes, nv_ref[0])
 
         call = pl.pallas_call(
@@ -278,7 +366,7 @@ class MonteCarloMaxSinr:
                                            jnp.float32),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, tile, CH_PLANES * lane),
+                pl.BlockSpec((1, tile, num_planes * lane),
                              lambda r, s: (r, s, 0),
                              memory_space=pltpu.VMEM),
             ],

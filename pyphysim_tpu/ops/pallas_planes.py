@@ -94,6 +94,66 @@ def gram_rows(M):
     return (p, q, r)
 
 
+def gram_full(M):
+    """M M^H of an (m, n) plane matrix as a full m x m complex plane
+    matrix (Hermitian; both triangles materialized)."""
+    m = len(M)
+    out = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i, m):
+            acc = cmulc(M[i][0], M[j][0])
+            for t in range(1, len(M[0])):
+                acc = cadd(acc, cmulc(M[i][t], M[j][t]))
+            out[i][j] = acc
+            if i != j:
+                out[j][i] = cconj(acc)
+    return out
+
+
+def herm_solve_cols_ldl(B, M):
+    """B^{-1} M for Hermitian positive-definite n x n B (full complex
+    plane matrix) and an (n, c) plane matrix M, via an unrolled LDL^H
+    factorization — no square roots, n reciprocals, everything else
+    mul/add, and n is a small Python int so the whole solve is
+    straight-line VPU arithmetic (the geometry-general replacement for
+    the fixed 2x2-block Schur route). Degenerate pivots are floored at
+    EPS only to keep the arithmetic finite; callers guard validity with
+    their own SCALE-RELATIVE tests (library convention, CLAUDE.md)."""
+    n = len(B)
+    c = len(M[0])
+    L = [[None] * n for _ in range(n)]
+    D = [None] * n
+    Dinv = [None] * n
+    for j in range(n):
+        d = B[j][j][0]
+        for k in range(j):
+            d = d - cabs2(L[j][k]) * D[k]
+        d = jnp.maximum(d, EPS)
+        D[j] = d
+        Dinv[j] = 1.0 / d
+        for i in range(j + 1, n):
+            acc = B[i][j]
+            for k in range(j):
+                acc = csub(acc, cscale(cmulc(L[i][k], L[j][k]), D[k]))
+            L[i][j] = cscale(acc, Dinv[j])
+    X = [list(row) for row in M]
+    # forward substitution: L z = M (unit diagonal)
+    for i in range(n):
+        for j in range(i):
+            for t in range(c):
+                X[i][t] = csub(X[i][t], cmul(L[i][j], X[j][t]))
+    # diagonal scale
+    for i in range(n):
+        for t in range(c):
+            X[i][t] = cscale(X[i][t], Dinv[i])
+    # back substitution: L^H x = z, (L^H)[i][j>i] = conj(L[j][i])
+    for i in range(n - 1, -1, -1):
+        for j in range(i + 1, n):
+            for t in range(c):
+                X[i][t] = csub(X[i][t], cmulc(X[j][t], L[j][i]))
+    return X
+
+
 # ---- 2x2 Hermitian closed forms ------------------------------------------
 
 def herm2_solve_cols(B, M):

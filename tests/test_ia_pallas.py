@@ -6,11 +6,12 @@ bit->capacity pipeline against the (already host-pinned) XLA solver
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.special import erfinv
 
 from pyphysim_tpu.ia.batched import calc_sinrs, max_sinr_solve, sum_capacity
 from pyphysim_tpu.ops import cplx
-from pyphysim_tpu.ops.ia_pallas import CH_PLANES, MonteCarloMaxSinr
+from pyphysim_tpu.ops.ia_pallas import MonteCarloMaxSinr
 from pyphysim_tpu.ops.mc_pallas import _u11
 
 CLIP = 0.99999994
@@ -18,31 +19,32 @@ CLIP = 0.99999994
 
 def _draw_bits(key, mc, reps, num_tiles):
     return jax.random.bits(
-        key, (reps, num_tiles * mc._tile, CH_PLANES * mc._lane),
+        key, (reps, num_tiles * mc._tile, mc.num_planes * mc._lane),
         jnp.uint32)
 
 
 def _channels_from_bits(mc, ch_bits):
     """(reps, rows, elements...) -> complex H of shape
-    (n_elem, 3, 3, 2, 2), exactly the kernel's bit->Gaussian map."""
+    (n_elem, K, K, 2, 2), exactly the kernel's bit->Gaussian map."""
     lane = mc._lane
+    K = mc._K
     bits = np.asarray(ch_bits)
     reps, rows, _ = bits.shape
-    planes = bits.reshape(reps, rows, CH_PLANES, lane)
+    planes = bits.reshape(reps, rows, mc.num_planes, lane)
 
     def gauss(b):
         return erfinv(np.clip(np.asarray(_u11(b)), -CLIP, CLIP))
 
-    H = np.zeros((reps, rows, lane, 3, 3, 2, 2), np.complex64)
+    H = np.zeros((reps, rows, lane, K, K, 2, 2), np.complex64)
     idx = 0
-    for k in range(3):
-        for j in range(3):
+    for k in range(K):
+        for j in range(K):
             for e in range(4):
                 re = gauss(planes[:, :, idx])
                 im = gauss(planes[:, :, idx + 1])
                 idx += 2
                 H[..., k, j, e // 2, e % 2] = re + 1j * im
-    return H.reshape(-1, 3, 3, 2, 2)
+    return H.reshape(-1, K, K, 2, 2)
 
 
 _DIRECT_CACHE = {}
@@ -56,16 +58,17 @@ def _direct_caps(mc, bits, noise_var):
     shape, so the XLA:CPU compile of the unrolled recursion is paid
     once per (tile, lane, iterations) across the whole module."""
     lane = mc._lane
+    num_planes = mc.num_planes
     reps, rows, _ = bits.shape
     nt = rows // mc._tile
-    key = (mc._tile, lane, mc._iters, reps, nt)
+    key = (mc._tile, lane, mc._iters, reps, nt, mc._K)
     if key not in _DIRECT_CACHE:
         @jax.jit
         def run(b, nv):
-            blocks = b.reshape(reps * nt, mc._tile, CH_PLANES, lane)
+            blocks = b.reshape(reps * nt, mc._tile, num_planes, lane)
 
             def one(block):
-                planes = [block[:, i] for i in range(CH_PLANES)]
+                planes = [block[:, i] for i in range(num_planes)]
                 return mc._solve_block(planes, nv)
 
             return jax.vmap(one)(blocks).reshape(reps, nt, -1)
@@ -131,3 +134,45 @@ class TestInjectMatchesXlaSolver:
         c1 = float(_direct_caps(mc1, bits, 0.1)[0].sum())
         c4 = float(_direct_caps(mc4, bits, 0.1)[0].sum())
         assert c4 > c1
+
+
+class TestGeometryMenu:
+    """The kernel tier's K menu (VERDICT r4 item 3): each user count
+    pinned against the shape-general XLA solver (reference
+    algorithms.py:1243-1504) on identical channel realizations."""
+
+    @pytest.mark.parametrize("K", [2, 4])
+    def test_capacity_matches_xla_solver(self, K):
+        mc = MonteCarloMaxSinr(tile=8, lane=128, iterations=2, K=K)
+        noise_var = 0.1
+        bits = _draw_bits(jax.random.PRNGKey(20 + K), mc, 1, 1)
+        got, _ = _direct_caps(mc, bits, noise_var)
+
+        H = _channels_from_bits(mc, bits)
+        Hc = cplx.from_numpy(H)
+
+        def one(h):
+            F, U = max_sinr_solve(h, jax.random.PRNGKey(0), Ns=1,
+                                  noise_var=noise_var, iterations=2,
+                                  init="svd")
+            return sum_capacity(calc_sinrs(h, F, U, noise_var, 1.0))
+
+        caps = np.asarray(jax.jit(jax.vmap(one))(Hc))
+        want = caps.reshape(1, 1, mc._tile * mc._lane).sum(axis=-1)
+        np.testing.assert_allclose(got, want, rtol=3e-3)
+
+
+class TestShardedInject:
+    def test_sharded_inject_bit_identical(self):
+        """The rep axis sharded over the 8-device CPU mesh under
+        shard_map is BIT-identical to the unsharded kernel (the
+        absolute-index stream contract, as for the OFDM and Alamouti
+        kernels)."""
+        from pyphysim_tpu.parallel import make_mesh
+        mc = MonteCarloMaxSinr(tile=8, lane=128, iterations=1, K=2)
+        reps, nt = 8, 1
+        bits = _draw_bits(jax.random.PRNGKey(31), mc, reps, nt)
+        one = np.asarray(mc.build_inject(reps, nt)(bits, 0.1))
+        sharded = np.asarray(
+            mc.build_inject(reps, nt, mesh=make_mesh(8))(bits, 0.1))
+        assert np.array_equal(one, sharded), (one, sharded)
