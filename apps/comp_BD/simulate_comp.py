@@ -156,6 +156,11 @@ class BDSimulationRunner(SimulationRunner):
         self.multiuser_channel = MultiUserChannelMatrixExtInt()
         self.multiuser_channel.noise_var = self.noise_var
 
+        # compiled device programs keyed by the parameter point; shared
+        # between runner instances (bench warm/timed runs) by assigning
+        # the dict — the programs close over parameter VALUES only
+        self._vkernels = {}
+
     # -- shared scenario helpers ------------------------------------------
 
     def _transmit_power(self, snr_db: float) -> float:
@@ -239,6 +244,9 @@ class BDSimulationRunner(SimulationRunner):
              {"modulator": mod, "packet_length": L}),
         ] if c[0] in self.metrics]
         do_whitening = "Whitening" in self.metrics
+        cache_key = (float(p["SNR"]), float(p["Pe_dBm"]), K, nr, nt,
+                     rank, NSymbs, M, L, tuple(self.metrics), nv,
+                     self.base_seed)
 
         def rep_kernel(key, spl, spl_i):
             kH, kE, kD, kX, kN = jax.random.split(key, 5)
@@ -343,7 +351,9 @@ class BDSimulationRunner(SimulationRunner):
             out["__valid__"] = valid
             return out
 
-        vkernel = jax.jit(jax.vmap(rep_kernel))
+        if cache_key not in self._vkernels:
+            self._vkernels[cache_key] = jax.jit(jax.vmap(rep_kernel))
+        vkernel = self._vkernels[cache_key]
 
         def bulk(start, n):
             spl, spl_i = self._scenario_pathloss(p, start, n)
@@ -369,8 +379,14 @@ class BDSimulationRunner(SimulationRunner):
         pt = self._transmit_power(float(p["SNR"]))
         pe = float(dBm2Linear(float(p["Pe_dBm"])))
 
-        self._host_attempt = getattr(self, "_host_attempt", 0) + 1
-        attempt = self._host_attempt
+        # the engine's resume-safe serial cursor (monotone within the
+        # variation, derived from the persisted repetition count): a
+        # checkpoint-resume of engine='host' continues the attempt
+        # sequence instead of replaying accumulated realizations (the
+        # bulk engine's absolute-cursor contract, serial-path form).
+        # Mix in the unpack index so variations draw independently.
+        attempt = self.serial_attempt
+        salt = max(p.unpack_index, 0) * 1_000_003 + attempt
         pos = self._positions_for_attempt(p, attempt)
         dists = np.abs(pos[:, None] - self._centers[None, :])
         pathloss = np.asarray(self.path_loss_obj.calc_path_loss(dists))
@@ -400,7 +416,7 @@ class BDSimulationRunner(SimulationRunner):
             solvers["Whitening"] = \
                 wbd.block_diagonalize_no_waterfilling(mu)
 
-        rs = np.random.RandomState(attempt)
+        rs = np.random.RandomState(salt & 0x7FFFFFFF)
         ext_data = (np.sqrt(pe) *
                     randn_c_RS(rs, rank, NSymbs))
         # ALL metrics share the same data / ext-interference / noise
@@ -408,8 +424,9 @@ class BDSimulationRunner(SimulationRunner):
         # (simulate_comp.py:524-545) and as the device engine does by
         # construction: re-seed the data stream and reuse one noise key
         # for every metric
-        data_seed = attempt * 7919 + 13
-        noise_key = __import__("jax").random.PRNGKey(attempt * 104729 + 7)
+        data_seed = (salt * 7919 + 13) & 0x7FFFFFFF
+        noise_key = __import__("jax").random.PRNGKey(
+            (salt * 104729 + 7) & 0x7FFFFFFF)
         results = SimulationResults()
         for name, (MsPk, Wk, Ns) in solvers.items():
             Ns_total = int(np.sum(Ns))

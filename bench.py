@@ -542,6 +542,74 @@ def _bench_families(results, log):
         log(f"bd pallas stage failed ({exc!r}); XLA number kept")
 
 
+# comp_BD scenario SER bands at the bench point (SNR 20 dB, Pe 10 dBm,
+# random drops): the HOST parity engine measured ser_None 0.069,
+# ser_capacity 0.0072, ser_Whitening 0.054 at 150 reps; bands are wide
+# enough for scenario variance at >=2048 reps, tight enough to catch an
+# elided/degenerate device program.
+COMP_BD_SER_CAPACITY = (0.0015, 0.03)
+COMP_BD_SER_NONE = (0.025, 0.15)
+
+
+def _bench_comp_bd_scenario(results, log):
+    """Hardware number for the FULL comp_BD scenario ENGINE: the
+    biggest app (apps/comp_BD/simulate_comp.py — random user drops in
+    the hexagon fan, pathloss channels, external interference, the
+    EnhancedBD/WhiteningBD solver sweep, SER/BER/PER accounting)
+    driven end to end by SimulationRunner's bulk path on the chip, at
+    one (SNR, Pe) point with capped reps — the engine-delivers-it
+    claim the OFDM family already earns via engine_sym_s (reference
+    claim surface: apps/comp_BD/simulate_comp.py:1-883). A 3-metric
+    subset (None/capacity/Whitening) keeps the device program's
+    compile inside the bench budget; the compiled program is shared
+    between the warm and timed runners via the app's _vkernels cache."""
+    import os
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if repo not in _sys.path:
+        _sys.path.insert(0, repo)
+    from apps.comp_BD.simulate_comp import BDSimulationRunner
+
+    def make(rep_max):
+        r = BDSimulationRunner(read_command_line_args=False,
+                               engine="device",
+                               metrics=["None", "capacity", "Whitening"])
+        r.params.add("SNR", np.array([20.0]))
+        r.params.add("Pe_dBm", np.array([10.0]))
+        r.params.add("user_positioning_method", "Random")
+        r.rep_max = rep_max
+        r.batch_size = 128
+        r.update_progress_function_style = None
+        return r
+
+    log("comp_bd: compiling + warmup (one chunk)")
+    warm = make(128)
+    warm.simulate()
+
+    bench = make(4096)
+    bench._vkernels = warm._vkernels  # reuse the compiled program
+    t0 = time.perf_counter()
+    bench.simulate()
+    dt = time.perf_counter() - t0
+    sers = {m: float(bench.results.get_result_values_list(f"ser_{m}")[0])
+            for m in ("None", "capacity", "Whitening")}
+    lo, hi = COMP_BD_SER_CAPACITY
+    assert lo < sers["capacity"] < hi, \
+        f"implausible comp_bd ser_capacity {sers['capacity']}"
+    lo, hi = COMP_BD_SER_NONE
+    assert lo < sers["None"] < hi, \
+        f"implausible comp_bd ser_None {sers['None']}"
+    assert sers["capacity"] < sers["None"], sers
+    results["comp_bd_scenario_reps_s"] = 4096 / dt
+    results["comp_bd_scenario_ser_capacity"] = sers["capacity"]
+    results["comp_bd_scenario_ser_none"] = sers["None"]
+    log(f"comp_bd scenario engine: "
+        f"{results['comp_bd_scenario_reps_s']:.3e} reps/s "
+        f"(ser None/capacity/Whitening = {sers['None']:.4f}/"
+        f"{sers['capacity']:.4f}/{sers['Whitening']:.4f})")
+
+
 def bench_ofdm_tdl():
     import pyphysim_tpu.ops.fft as cfft
     cfft.FOUR_STEP_MIN = 10_000  # direct DFT matmul beats 4-step here
@@ -650,6 +718,15 @@ def bench_ofdm_tdl():
         raise  # physics regressions in a family are hard failures
     except Exception as exc:  # pragma: no cover - backend-dependent
         log(f"family stage failed ({exc!r}); headline metrics kept")
+
+    # ---- comp_BD scenario engine on chip -----------------------------
+    try:
+        _bench_comp_bd_scenario(results, log)
+    except AssertionError:
+        raise  # an SER regression through the scenario engine is hard
+    except Exception as exc:  # pragma: no cover - backend-dependent
+        log(f"comp_bd scenario stage failed ({exc!r}); "
+            "headline metrics kept")
     return results
 
 
@@ -673,7 +750,10 @@ def main() -> None:
                      ("alamouti_sym_s", "alamouti_xla_sym_s",
                       "alamouti_ber_10dB",
                       "ia_maxsinr_solves_s", "ia_maxsinr_xla_solves_s",
-                      "bd_solves_s", "bd_xla_solves_s") if k in r},
+                      "bd_solves_s", "bd_xla_solves_s",
+                      "comp_bd_scenario_reps_s",
+                      "comp_bd_scenario_ser_capacity",
+                      "comp_bd_scenario_ser_none") if k in r},
     }))
 
 

@@ -138,6 +138,9 @@ class SimulationRunner:
         self.rep_max = 1
         self._elapsed_time = 0.0
         self._runned_reps: List[int] = []
+        # serial-path attempt cursor (set by _serial_loop before every
+        # _run_simulation call; resume-safe — see _serial_loop)
+        self.serial_attempt = 0
         self.params = SimulationParameters()
         self.results = SimulationResults()
 
@@ -618,9 +621,21 @@ class SimulationRunner:
     def _serial_loop(self, current_params, current_results, current_rep,
                      pbar) -> int:
         num_skipped = 0
+        # ``serial_attempt`` is the serial path's analog of the bulk
+        # path's absolute attempt cursor: monotone within a variation
+        # (skipped attempts advance it, so retries get fresh
+        # randomness) and derived from the PERSISTED repetition count,
+        # so a checkpoint-resume continues the attempt sequence instead
+        # of replaying realizations already accumulated. User
+        # ``_run_simulation`` code that seeds per-repetition randomness
+        # should key it on this (plus the variation's unpack_index)
+        # rather than an in-memory counter.
+        attempt = current_rep
         while current_rep < self.rep_max and self._keep_going(
                 current_params, current_results, current_rep):
             tic = time.time()
+            attempt += 1
+            self.serial_attempt = attempt
             try:
                 rep_results = self._run_simulation(current_params)
             except SkipThisOne:

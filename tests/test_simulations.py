@@ -474,6 +474,42 @@ class TestSimulationRunner:
         lala = runner2.results["lala"][0]
         assert lala.num_updates == 16
 
+    def test_serial_attempt_cursor_resume(self, tmp_path):
+        """The serial path's attempt cursor (``runner.serial_attempt``)
+        derives from the PERSISTED repetition count: a resumed run
+        continues the attempt sequence instead of replaying
+        realizations already accumulated (advisor r4 finding on the
+        comp_BD host engine's in-memory counter)."""
+        from pyphysim_tpu.simulations import (Result, SimulationResults,
+                                              SimulationRunner)
+        seen = []
+
+        class _AttemptRunner(SimulationRunner):
+            def __init__(self):
+                super().__init__(read_command_line_args=False)
+                self.params.add("x", 1.0)
+                self.rep_max = 4
+                self.update_progress_function_style = None
+
+            def _run_simulation(self, p):
+                seen.append(self.serial_attempt)
+                res = SimulationResults()
+                res.add_result(Result.create("v", Result.SUMTYPE, 1.0))
+                return res
+
+        r = _AttemptRunner()
+        r.set_results_filename(str(tmp_path / "res"))
+        r.partial_results_folder = str(tmp_path / "partial")
+        r.simulate()
+        assert seen == [1, 2, 3, 4]
+
+        r2 = _AttemptRunner()
+        r2.rep_max = 7
+        r2.set_results_filename(str(tmp_path / "res"))
+        r2.partial_results_folder = str(tmp_path / "partial")
+        r2.simulate()
+        assert seen == [1, 2, 3, 4, 5, 6, 7]
+
     def test_checkpoint_mismatch_rejected(self, tmp_path):
         runner = _DummyBatchRunner()
         runner.set_results_filename(str(tmp_path / "res"))
