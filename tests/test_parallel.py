@@ -196,3 +196,54 @@ class TestTimeShardedChannel:
         state = channel.init_state(jax.random.PRNGKey(5))
         with pytest.raises(ValueError):
             corrupt_data_time_sharded(channel, state, signal, 128, mesh)
+
+
+class TestWeakScalingShape:
+    def test_per_device_work_constant_across_mesh_sizes(self):
+        """Weak scaling, structurally: at FIXED per-device batch, the
+        compiled SPMD program's per-partition FLOPs stay constant as
+        the mesh grows 1 -> 8 devices — the work divides evenly and
+        the counter reduction adds no per-device replication blowup
+        (the shape behind docs/tpu_performance.md's 'linear until
+        dispatch-bound' claim; measured curve: bin/weak_scaling_curve
+        .py). Wall-clock flatness is NOT asserted — the virtual
+        devices share this host's two cores."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pyphysim_tpu.modulators import QPSK
+        from pyphysim_tpu.utils.misc import count_bit_errors, randn_c
+
+        qpsk = QPSK()
+        n_sym = 512
+
+        def step(key, snr_linear):
+            k1, k2 = jax.random.split(key)
+            data = jax.random.randint(k1, (n_sym,), 0, 4)
+            rx = qpsk.modulate(data) + \
+                randn_c(k2, n_sym) * jnp.sqrt(1.0 / snr_linear)
+            return count_bit_errors(data, qpsk.demodulate(rx))
+
+        def mc_step(keys, snrs):
+            return jnp.sum(jax.vmap(step)(keys, snrs))
+
+        per_dev = 4
+        flops = {}
+        for n in (1, 2, 4, 8):
+            mesh = make_mesh(n)
+            sharding = NamedSharding(mesh, P("mc"))
+            batch = n * per_dev
+            keys = jax.device_put(
+                jax.random.split(jax.random.PRNGKey(0), batch),
+                sharding)
+            snrs = jax.device_put(jnp.full((batch,), 10.0), sharding)
+            with mesh:
+                compiled = jax.jit(
+                    mc_step, in_shardings=(sharding, sharding)).lower(
+                    keys, snrs).compile()
+            cost = compiled.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops[n] = float(cost["flops"])
+        base = flops[1]
+        for n in (2, 4, 8):
+            assert 0.95 * base <= flops[n] <= 1.05 * base, flops
