@@ -190,20 +190,22 @@ class BDSimulationRunner(SimulationRunner):
 
     def _scenario_pathloss(self, p, start: int, n: int):
         """sqrt path-loss arrays for attempts [start, start+n):
-        (n, K, K) user-to-cell and (n, K) ext-int-to-user."""
+        (n, K, K) user-to-cell and (n, K) ext-int-to-user. Only the
+        per-attempt position draw stays in the Python loop (each
+        attempt owns an independent RandomState keyed by the absolute
+        index — the chunk-invariance contract); the path-loss math is
+        one vectorized call over the whole chunk (at chunk 2048 the
+        per-attempt calc_path_loss calls dominated the host side)."""
         K = self._centers.size
-        spl = np.empty((n, K, K))
-        spl_i = np.empty((n, K))
-        ext_center = self._cluster0.pos
-        ext_radius = self._cluster0.external_radius
+        pos = np.empty((n, K), complex)
         for i in range(n):
-            pos = self._positions_for_attempt(p, start + i)
-            dists = np.abs(pos[:, None] - self._centers[None, :])
-            spl[i] = np.sqrt(self.path_loss_obj.calc_path_loss(dists))
-            d_center = np.abs(pos - ext_center)
-            spl_i[i] = np.sqrt(self.path_loss_obj.calc_path_loss(
-                ext_radius - d_center))
-        return spl, spl_i
+            pos[i] = self._positions_for_attempt(p, start + i)
+        dists = np.abs(pos[:, :, None] - self._centers[None, None, :])
+        spl = np.sqrt(self.path_loss_obj.calc_path_loss(dists))
+        d_center = np.abs(pos - self._cluster0.pos)
+        spl_i = np.sqrt(self.path_loss_obj.calc_path_loss(
+            self._cluster0.external_radius - d_center))
+        return np.asarray(spl), np.asarray(spl_i)
 
     # -- TPU bulk engine ---------------------------------------------------
 

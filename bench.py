@@ -579,15 +579,20 @@ def _bench_comp_bd_scenario(results, log):
         r.params.add("Pe_dBm", np.array([10.0]))
         r.params.add("user_positioning_method", "Random")
         r.rep_max = rep_max
-        r.batch_size = 128
+        # the program is LATENCY-bound (serial small-op solver chain):
+        # chunk time grows far sublinearly 128 -> 4096 reps, so wide
+        # chunks are ~15x free throughput (swept on v5e; 8192 still
+        # gains but the host geometry loop starts to dominate)
+        r.batch_size = 4096
         r.update_progress_function_style = None
         return r
 
     log("comp_bd: compiling + warmup (one chunk)")
-    warm = make(128)
+    warm = make(4096)
     warm.simulate()
 
-    bench = make(4096)
+    reps = 16384
+    bench = make(reps)
     bench._vkernels = warm._vkernels  # reuse the compiled program
     t0 = time.perf_counter()
     bench.simulate()
@@ -601,7 +606,7 @@ def _bench_comp_bd_scenario(results, log):
     assert lo < sers["None"] < hi, \
         f"implausible comp_bd ser_None {sers['None']}"
     assert sers["capacity"] < sers["None"], sers
-    results["comp_bd_scenario_reps_s"] = 4096 / dt
+    results["comp_bd_scenario_reps_s"] = reps / dt
     results["comp_bd_scenario_ser_capacity"] = sers["capacity"]
     results["comp_bd_scenario_ser_none"] = sers["None"]
     log(f"comp_bd scenario engine: "

@@ -3,9 +3,10 @@
 VMEM-resident counterpart of the batched IA sweep
 (``ia/batched.max_sinr_solve`` + ``calc_sinrs`` + ``sum_capacity`` —
 reference ``apps/ia/simulate_ia.py`` / ``algorithms.MaxSinrIASolver``,
-algorithms.py:1243-1852) for the K=3, 2x2, Ns=1 scenario the bench and
-apps sweep: each (row, lane) element of a grid block is one independent
-Monte Carlo realization — the 3x3x2x2 channel is drawn from the
+algorithms.py:1243-1852) for the 2x2, Ns=1 scenario family the bench
+and apps sweep, geometry-general over the user count ``K`` (the bench
+point is K=3): each (row, lane) element of a grid block is one
+independent Monte Carlo realization — the KxKx2x2 channel is drawn from the
 in-kernel TPU PRNG, the deterministic 'svd' initialization, the
 fixed-iteration forward/reverse Max-SINR recursion and the final
 SINR/capacity reduction all run in VMEM as pure plane arithmetic

@@ -176,3 +176,36 @@ class TestShardedInject:
         sharded = np.asarray(
             mc.build_inject(reps, nt, mesh=make_mesh(8))(bits, 0.1))
         assert np.array_equal(one, sharded), (one, sharded)
+
+
+class TestIaMcKernelApp:
+    def test_runner_sweep_capacity_monotone_and_chunk_invariant(self):
+        """The bulk-path app (apps/ia/ia_mc_kernel.py) on the CPU
+        interpreter at a K-menu point: sum capacity grows with SNR,
+        and results are chunk-size invariant (the absolute-attempt-
+        cursor contract)."""
+        import os
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from apps.ia.ia_mc_kernel import IaMcKernelSimulationRunner
+
+        def make(batch):
+            r = IaMcKernelSimulationRunner(K=2, tile=8, lane=128,
+                                           num_tiles=1, iterations=1)
+            r.params.add("SNR", np.array([0.0, 15.0]))
+            r.rep_max = 4
+            r.batch_size = batch
+            r.update_progress_function_style = None
+            return r
+
+        r1 = make(2)
+        r1.simulate()
+        caps = [float(v) for v in
+                r1.results.get_result_values_list("sum_capacity")]
+        assert caps[1] > caps[0] > 0.0, caps
+
+        r2 = make(4)
+        r2.simulate()
+        caps2 = [float(v) for v in
+                 r2.results.get_result_values_list("sum_capacity")]
+        assert caps == caps2  # absolute-attempt-cursor contract
