@@ -155,14 +155,18 @@ def svd_init_precoders(H: CArray, Ns) -> CArray:
 def max_sinr_solve(H: CArray, key: jax.Array, Ns=1,
                    P: float = 1.0, noise_var: float = 0.1,
                    iterations: int = 20,
-                   init: str = "random") -> Tuple[CArray, CArray]:
+                   init: str = "random", F0: CArray = None
+                   ) -> Tuple[CArray, CArray]:
     """Fixed-iteration Max-SINR IA.
 
     ``H``: (K, K, Nr, Nt) CArray. ``Ns``: int or per-user tuple of
     stream counts (tensors padded to the max; see :func:`_as_ns`).
-    ``init``: 'random' (key-seeded) or 'svd' (deterministic, the
-    reference's brute-force-search initialization). Returns ``(F, U)``
-    with F (K, Nt, ns_max) normalized precoders and U (K, Nr, ns_max)
+    ``init``: 'random' (key-seeded), 'svd' (deterministic, the
+    reference's brute-force-search initialization) or 'fix' (start
+    from the caller-supplied ``F0`` — the reference's 'fix' option,
+    algorithms.py:347-368; ``F0`` must be (K, Nt, ns_max)
+    unit-Frobenius precoders). Returns ``(F, U)`` with F
+    (K, Nt, ns_max) normalized precoders and U (K, Nr, ns_max)
     receive filters. vmap over leading axes of H/key for Monte Carlo
     batches.
     """
@@ -176,7 +180,11 @@ def max_sinr_solve(H: CArray, key: jax.Array, Ns=1,
     # (algorithms.MaxSinrIASolver._calc_Bkl_cov_matrix_first_part_rev).
     p_fwd = jnp.full((K,), P)
     p_rev = p_fwd / jnp.asarray(ns, p_fwd.dtype)
-    if init == "svd":
+    if init == "fix":
+        if F0 is None:
+            raise ValueError("init='fix' requires F0")
+        F = F0
+    elif init == "svd":
         F = svd_init_precoders(H, ns)
     else:
         F = random_unit_precoders(key, K, int(H.shape[3]), ns)

@@ -102,6 +102,95 @@ def _herm_quad(B, v):
             2.0 * (q[0] * cross[0] - q[1] * cross[1]))
 
 
+# ---- general-N plane-vector helpers (lists of complex plane tuples) ----
+
+def _gmatvec(M, v):
+    """(N, N) plane matrix @ length-N plane vector."""
+    out = []
+    for i in range(len(M)):
+        acc = _cmul(M[i][0], v[0])
+        for j in range(1, len(v)):
+            acc = _cadd(acc, _cmul(M[i][j], v[j]))
+        out.append(acc)
+    return out
+
+
+def _gdotc(a, b):
+    """a^H b = sum_i conj(a_i) b_i."""
+    acc = _cmulc(b[0], a[0])
+    for i in range(1, len(a)):
+        acc = _cadd(acc, _cmulc(b[i], a[i]))
+    return acc
+
+
+def _gnorm2(v):
+    acc = _cabs2(v[0])
+    for i in range(1, len(v)):
+        acc = acc + _cabs2(v[i])
+    return acc
+
+
+def _gscale(v, s):
+    return [_cscale(x, s) for x in v]
+
+
+def _gnormalize(v):
+    inv = 1.0 / jnp.maximum(jnp.sqrt(_gnorm2(v)), _EPS)
+    return _gscale(v, inv)
+
+
+def _mgs(cols):
+    """Modified Gram-Schmidt orthonormalization of a list of length-N
+    plane vectors (in order)."""
+    out = []
+    for v in cols:
+        for q in out:
+            proj = _gdotc(q, v)          # q^H v
+            v = [_csub(x, _cmul(proj, qx)) for x, qx in zip(v, q)]
+        out.append(_gnormalize(v))
+    return out
+
+
+def _orth_iter_init(Hkk, Ns, iters):
+    """Fixed-iteration orthogonal (power) iteration on G = Hkk^H Hkk:
+    converges to the Ns dominant right singular vectors — the
+    general-N form of the closed-form 2x2 'svd' init (the parity tests
+    feed the SAME iterated init to the XLA solver via init='fix', so
+    the recursion is pinned exactly regardless of convergence)."""
+    from .pallas_planes import mat_H, mat_mul
+    G = mat_mul(mat_H(Hkk), Hkk)
+    N = len(G)
+    cols = []
+    for l in range(Ns):
+        z = jnp.zeros_like(G[0][0][0])
+        one = jnp.ones_like(z)
+        cols.append([((one if i == l else z), z) for i in range(N)])
+    for _ in range(iters):
+        cols = _mgs([_gmatvec(G, v) for v in cols])
+    return cols
+
+
+def _herm_full_eye(N, nv, like):
+    """nv * I as a full N x N complex plane matrix."""
+    z = jnp.zeros_like(like)
+    d = jnp.full_like(like, nv) if not hasattr(nv, "shape") else \
+        jnp.broadcast_to(nv, like.shape).astype(like.dtype)
+    out = [[((d if i == j else z), z) for j in range(N)]
+           for i in range(N)]
+    return out
+
+
+def _herm_full_add_outer(B, v, scale):
+    """B += scale * v v^H (full-matrix Hermitian accumulation)."""
+    N = len(v)
+    out = [[None] * N for _ in range(N)]
+    for i in range(N):
+        for j in range(N):
+            out[i][j] = _cadd(B[i][j],
+                              _cscale(_cmulc(v[i], v[j]), scale))
+    return out
+
+
 def _dominant_right_singular(M):
     """Dominant right singular vector of a 2x2 complex M: closed-form
     top eigenvector of G = M^H M (phase convention differs from LAPACK;
@@ -126,9 +215,13 @@ def _dominant_right_singular(M):
 
 class MonteCarloMaxSinr:
     """Builder for the single-kernel Max-SINR IA Monte Carlo sweep
-    (Nr=Nt=2, Ns=1, 'svd' init; ``K`` users — the geometry menu covers
-    the reference's shape-general solver surface,
-    algorithms.py:1243-1504, at kernel speed for K in {2, 3, 4, ...}).
+    ('svd'-style init; the geometry menu covers the reference's
+    shape-general solver surface, algorithms.py:1243-1504, at kernel
+    speed: ``K`` users, square ``N = Nr = Nt`` antennas, ``Ns``
+    streams/user). The (N, Ns) = (2, 1) point keeps the hand-tuned
+    closed-form path (the bench configuration); other points run the
+    general plane program (full-matrix Bkl, unrolled LDL^H solves,
+    orthogonal-iteration init).
 
     ``tile`` rows x ``lane`` lanes of independent realizations per grid
     step; ``num_tiles`` tiles per repetition. Solves per call:
@@ -137,30 +230,40 @@ class MonteCarloMaxSinr:
 
     def __init__(self, tile: int = 8, lane: int = 512,
                  iterations: int = 10, P: float = 1.0,
-                 K: int = 3) -> None:
+                 K: int = 3, N: int = 2, Ns: int = 1,
+                 init_iters: int = 10) -> None:
         if tile < 8 or tile % 8:
             raise ValueError("tile must be a multiple of 8")
         if lane < 128 or lane % 128:
             raise ValueError("lane must be a multiple of 128")
         if K < 2:
             raise ValueError("K must be >= 2")
+        if N < 2:
+            raise ValueError("N must be >= 2")
+        if not 1 <= Ns <= N:
+            raise ValueError("need 1 <= Ns <= N")
         self._tile = int(tile)
         self._lane = int(lane)
         self._iters = int(iterations)
         self._P = float(P)
         self._K = int(K)
+        self._N = int(N)
+        self._Ns = int(Ns)
+        self._init_iters = int(init_iters)
 
     @property
     def num_planes(self) -> int:
-        """Channel bit planes consumed per block: K*K 2x2 complex
-        matrices = K*K*4*2 (re/im) planes."""
-        return self._K * self._K * 4 * 2
+        """Channel bit planes consumed per block: K*K NxN complex
+        matrices = K*K*N*N*2 (re/im) planes."""
+        return self._K * self._K * self._N * self._N * 2
 
     # ------------------------------------------------------------------
 
     def _solve_block(self, planes, noise_var):
         """planes: list of ``num_planes`` (tile, lane) uint32/int32 bit
         planes -> (tile, lane) f32 sum capacity per element."""
+        if (self._N, self._Ns) != (2, 1):
+            return self._solve_block_general(planes, noise_var)
         K = self._K
         P = jnp.float32(self._P)
         nv = noise_var
@@ -230,6 +333,89 @@ class MonteCarloMaxSinr:
             cap = c if cap is None else cap + c
         # degenerate draws (singular Bkl etc.) must not poison the sum:
         # the runner-path __valid__ semantics, inlined (bench.py bd_step)
+        return jnp.sum(jnp.where(jnp.isfinite(cap), cap, 0.0))
+
+    def _solve_block_general(self, planes, noise_var):
+        """General (K, N, Ns) plane program, mirroring
+        ``ia/batched.max_sinr_solve`` exactly: forward Bkl at total
+        user power P over unit-Frobenius precoders, reverse network on
+        the fro-normalized filters at power P/Ns (the reference's
+        asymmetric convention), per-stream LDL^H solves, and the
+        calc_sinrs SINR/capacity reduction. Init is a fixed-iteration
+        orthogonal iteration toward the 'svd' init; parity tests feed
+        the SAME init to the XLA solver via init='fix'."""
+        import math
+
+        from .pallas_planes import herm_solve_cols_ldl
+        from .pallas_planes import mat_H as _pmat_H
+        K, N, Ns = self._K, self._N, self._Ns
+        P = jnp.float32(self._P)
+        nv = noise_var
+        inv_sqrt_ns = jnp.float32(1.0 / math.sqrt(Ns))
+
+        def gauss(bits):
+            return jax.lax.erf_inv(jnp.clip(_u11(bits), -_CLIP, _CLIP))
+
+        H = [[None] * K for _ in range(K)]
+        idx = 0
+        for k in range(K):
+            for j in range(K):
+                rows = []
+                for _r in range(N):
+                    row = []
+                    for _c in range(N):
+                        row.append((gauss(planes[idx]),
+                                    gauss(planes[idx + 1])))
+                        idx += 2
+                    rows.append(row)
+                H[k][j] = rows
+        Hrev = [[_pmat_H(H[j][k]) for j in range(K)] for k in range(K)]
+
+        F = []
+        for k in range(K):
+            cols = _orth_iter_init(H[k][k], Ns, self._init_iters)
+            F.append([_gscale(v, inv_sqrt_ns) for v in cols])
+        like = F[0][0][0][0]
+
+        def update(ch, F_cur, p):
+            out = []
+            for k in range(K):
+                first = _herm_full_eye(N, nv, like)
+                for j in range(K):
+                    for l in range(Ns):
+                        t = _gmatvec(ch[k][j], F_cur[j][l])
+                        first = _herm_full_add_outer(first, t, p)
+                cols = []
+                for l in range(Ns):
+                    d = _gmatvec(ch[k][k], F_cur[k][l])
+                    Bkl = _herm_full_add_outer(first, d, -p)
+                    x = herm_solve_cols_ldl(Bkl, [[di] for di in d])
+                    cols.append(_gnormalize([row[0] for row in x]))
+                out.append([_gscale(u, inv_sqrt_ns) for u in cols])
+            return out
+
+        p_rev = P / jnp.float32(Ns)
+        for _ in range(self._iters):
+            U = update(H, F, P)
+            F = update(Hrev, U, p_rev)
+        U = update(H, F, P)
+
+        cap = None
+        for k in range(K):
+            first = _herm_full_eye(N, nv, like)
+            for j in range(K):
+                for l in range(Ns):
+                    t = _gmatvec(H[k][j], F[j][l])
+                    first = _herm_full_add_outer(first, t, P)
+            for l in range(Ns):
+                d = _gmatvec(H[k][k], F[k][l])
+                Bkl = _herm_full_add_outer(first, d, -P)
+                u = U[k][l]
+                num = P * _cabs2(_gdotc(u, d))
+                w = _gmatvec(Bkl, u)
+                den = jnp.maximum(jnp.abs(_gdotc(u, w)[0]), _EPS)
+                c = jnp.log2(1.0 + num / den)
+                cap = c if cap is None else cap + c
         return jnp.sum(jnp.where(jnp.isfinite(cap), cap, 0.0))
 
     # ------------------------------------------------------------------

@@ -25,9 +25,9 @@ def _draw_bits(key, mc, reps, num_tiles):
 
 def _channels_from_bits(mc, ch_bits):
     """(reps, rows, elements...) -> complex H of shape
-    (n_elem, K, K, 2, 2), exactly the kernel's bit->Gaussian map."""
+    (n_elem, K, K, N, N), exactly the kernel's bit->Gaussian map."""
     lane = mc._lane
-    K = mc._K
+    K, N = mc._K, mc._N
     bits = np.asarray(ch_bits)
     reps, rows, _ = bits.shape
     planes = bits.reshape(reps, rows, mc.num_planes, lane)
@@ -35,16 +35,16 @@ def _channels_from_bits(mc, ch_bits):
     def gauss(b):
         return erfinv(np.clip(np.asarray(_u11(b)), -CLIP, CLIP))
 
-    H = np.zeros((reps, rows, lane, K, K, 2, 2), np.complex64)
+    H = np.zeros((reps, rows, lane, K, K, N, N), np.complex64)
     idx = 0
     for k in range(K):
         for j in range(K):
-            for e in range(4):
+            for e in range(N * N):
                 re = gauss(planes[:, :, idx])
                 im = gauss(planes[:, :, idx + 1])
                 idx += 2
-                H[..., k, j, e // 2, e % 2] = re + 1j * im
-    return H.reshape(-1, K, K, 2, 2)
+                H[..., k, j, e // N, e % N] = re + 1j * im
+    return H.reshape(-1, K, K, N, N)
 
 
 _DIRECT_CACHE = {}
@@ -61,7 +61,8 @@ def _direct_caps(mc, bits, noise_var):
     num_planes = mc.num_planes
     reps, rows, _ = bits.shape
     nt = rows // mc._tile
-    key = (mc._tile, lane, mc._iters, reps, nt, mc._K)
+    key = (mc._tile, lane, mc._iters, reps, nt, mc._K, mc._N,
+           mc._Ns, mc._init_iters)
     if key not in _DIRECT_CACHE:
         @jax.jit
         def run(b, nv):
@@ -160,6 +161,69 @@ class TestGeometryMenu:
         caps = np.asarray(jax.jit(jax.vmap(one))(Hc))
         want = caps.reshape(1, 1, mc._tile * mc._lane).sum(axis=-1)
         np.testing.assert_allclose(got, want, rtol=3e-3)
+
+
+def _orth_iter_init_np(G, Ns, iters):
+    """Numpy replication of the kernel's orthogonal-iteration init:
+    G (B, N, N) Hermitian PSD -> (B, N, Ns) orthonormal columns."""
+    B, N, _ = G.shape
+    V = np.zeros((B, N, Ns), np.complex64)
+    for l in range(Ns):
+        V[:, l, l] = 1.0
+    for _ in range(iters):
+        W = np.einsum("bij,bjl->bil", G, V)
+        Q = np.zeros_like(W)
+        for l in range(Ns):
+            v = W[:, :, l]
+            for m in range(l):
+                q = Q[:, :, m]
+                proj = np.sum(np.conj(q) * v, axis=-1, keepdims=True)
+                v = v - proj * q
+            nrm = np.sqrt(np.sum(np.abs(v) ** 2, axis=-1,
+                                 keepdims=True))
+            Q[:, :, l] = v / np.maximum(nrm, 1e-30)
+        V = Q
+    return V
+
+
+class TestAntennaStreamMenu:
+    """Antenna/stream variants of the kernel menu (VERDICT r4 item 3's
+    'Ns and antenna variants for IA'): the general (K, N, Ns) plane
+    program pinned against the XLA solver on identical channels AND
+    identical initialization (init='fix' — the reference's 'fix'
+    option, algorithms.py:347-368 — fed the numpy replication of the
+    kernel's orthogonal-iteration init)."""
+
+    @pytest.mark.parametrize("K,N,Ns", [(3, 4, 1), (2, 4, 2)])
+    def test_capacity_matches_xla_solver_fix_init(self, K, N, Ns):
+        mc = MonteCarloMaxSinr(tile=8, lane=128, iterations=2, K=K,
+                               N=N, Ns=Ns, init_iters=4)
+        noise_var = 0.1
+        bits = _draw_bits(jax.random.PRNGKey(100 + 10 * K + Ns),
+                          mc, 1, 1)
+        got, _ = _direct_caps(mc, bits, noise_var)
+
+        H = _channels_from_bits(mc, bits)          # (B, K, K, N, N)
+        B = H.shape[0]
+        F0 = np.zeros((B, K, N, Ns), np.complex64)
+        for k in range(K):
+            Hkk = H[:, k, k]
+            G = np.einsum("bij,bil->bjl", np.conj(Hkk), Hkk)
+            F0[:, k] = _orth_iter_init_np(G, Ns, 4) / np.sqrt(Ns)
+
+        def one(h, f0):
+            F, U = max_sinr_solve(h, jax.random.PRNGKey(0), Ns=Ns,
+                                  noise_var=noise_var, iterations=2,
+                                  init="fix", F0=f0)
+            return sum_capacity(
+                calc_sinrs(h, F, U, noise_var, 1.0, Ns=Ns))
+
+        caps = np.asarray(jax.jit(jax.vmap(one))(
+            cplx.from_numpy(H), cplx.from_numpy(F0)))
+        want = caps.reshape(1, 1, mc._tile * mc._lane).sum(axis=-1)
+        np.testing.assert_allclose(got, want, rtol=5e-3)
+        mean_cap = got.sum() / (mc._tile * mc._lane)
+        assert 1.0 < mean_cap < 60.0, mean_cap
 
 
 class TestShardedInject:
