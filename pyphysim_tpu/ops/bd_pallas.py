@@ -68,7 +68,8 @@ class MonteCarloBD:
 
     def __init__(self, tile: int = 8, lane: int = 512,
                  iPu: float = 10.0 / 3, noise_var: float = 1.0,
-                 K: int = 3, Nr_u: int = 2) -> None:
+                 K: int = 3, Nr_u: int = 2,
+                 mode: str = "normalized") -> None:
         if tile < 8 or tile % 8:
             raise ValueError("tile must be a multiple of 8")
         if lane < 128 or lane % 128:
@@ -78,12 +79,15 @@ class MonteCarloBD:
         if Nr_u not in (1, 2):
             raise ValueError("Nr_u must be 1 or 2 (closed-form "
                              "per-user eigenvalues)")
+        if mode not in ("normalized", "global", "none"):
+            raise ValueError(f"Unknown mode: {mode!r}")
         self._tile = int(tile)
         self._lane = int(lane)
         self._iPu = float(iPu)
         self._nv = float(noise_var)
         self._K = int(K)
         self._NR = int(Nr_u)
+        self._mode = mode
 
     @property
     def num_planes(self) -> int:
@@ -138,12 +142,25 @@ class MonteCarloBD:
                 gains.append(jnp.maximum(l0, 0.0))    # sigma^2, desc
                 gains.append(jnp.maximum(l1, 0.0))
 
-        # branch-free water-filling over the K*NR stream gains — the
-        # plane-arithmetic instance of comm/waterfilling.doWF_jit
         nv = (jnp.float32(self._nv) if noise_var is None
               else jnp.asarray(noise_var, jnp.float32))
         ipu = (jnp.float32(self._iPu) if iPu is None
                else jnp.asarray(iPu, jnp.float32))
+        if self._mode == "none":
+            # equal per-BS power, no water-filling
+            # (block_diagonalize_no_waterfilling): the stream basis
+            # columns are orthonormal, so sqrt(iPu)/||block|| scaling
+            # puts exactly iPu / Nr_u on every stream
+            p_eq = ipu / jnp.float32(NR)
+            inv_nv = 1.0 / nv
+            cap = None
+            for g in gains:
+                c = jnp.log2(1.0 + p_eq * g * inv_nv)
+                cap = c if cap is None else cap + c
+            return self._guarded(cap, gains)
+
+        # branch-free water-filling over the K*NR stream gains — the
+        # plane-arithmetic instance of comm/waterfilling.doWF_jit
         total_power = jnp.float32(K) * ipu
         inv = [nv / jnp.maximum(g, EPS) for g in gains]
         n = len(inv)
@@ -173,15 +190,18 @@ class MonteCarloBD:
                  for kk, m in enumerate(mu_ks))  # most channels
         powers = [jnp.maximum(mu - v, 0.0) for v in inv]
 
-        # per-BS normalization (blockdiagonalization.py:403-464): the
-        # stream basis columns are orthonormal, so the per-user block
-        # power is just the sum of its stream powers
-        user_p = [sum(powers[NR * k + t] for t in range(NR))
-                  for k in range(K)]
-        max_p = user_p[0]
-        for up in user_p[1:]:
-            max_p = jnp.maximum(max_p, up)
-        scale2 = ipu / jnp.maximum(max_p, EPS)
+        if self._mode == "global":
+            scale2 = jnp.float32(1.0)  # WF powers used as-is
+        else:
+            # per-BS normalization (blockdiagonalization.py:403-464):
+            # the stream basis columns are orthonormal, so the per-user
+            # block power is just the sum of its stream powers
+            user_p = [sum(powers[NR * k + t] for t in range(NR))
+                      for k in range(K)]
+            max_p = user_p[0]
+            for up in user_p[1:]:
+                max_p = jnp.maximum(max_p, up)
+            scale2 = ipu / jnp.maximum(max_p, EPS)
 
         # per-stream SNR = p * scale2 * g / nv (the noise_var knob
         # applies to the capacity term too, not only the water level)
@@ -190,9 +210,12 @@ class MonteCarloBD:
         for p, g in zip(powers, gains):
             c = jnp.log2(1.0 + p * scale2 * g * inv_nv)
             cap = c if cap is None else cap + c
+        return self._guarded(cap, gains)
 
-        # degeneracy guard — scale-relative, as in bench.py bd_step and
-        # comm/batched._bd_conditioning_ok
+    @staticmethod
+    def _guarded(cap, gains):
+        """Zero out degenerate draws — scale-relative, as in bench.py
+        bd_step and comm/batched._bd_conditioning_ok."""
         smax = gains[0]
         smin = gains[0]
         for g in gains[1:]:

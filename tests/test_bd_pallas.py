@@ -44,12 +44,12 @@ def _channels_from_bits(mc, ch_bits):
     return H.reshape(-1, nt, nt)
 
 
-def _xla_caps(H, iPu=10.0 / 3, noise_var=1.0, K=3):
+def _xla_caps(H, iPu=10.0 / 3, noise_var=1.0, K=3, mode="normalized"):
     """The bench's bd_step on explicit channels (bench.py)."""
 
     def one(h):
         _, Ms, Sigma = bd_precoders_batched(h, K, iPu, noise_var,
-                                            "normalized")
+                                            mode)
         p = jnp.sum(Ms.re ** 2 + Ms.im ** 2, axis=-2)
         cap = jnp.sum(jnp.log2(1.0 + p * Sigma ** 2 / noise_var))
         ok = jnp.min(Sigma) > 1e-6 * jnp.max(Sigma)
@@ -69,7 +69,7 @@ def _direct_caps(mc, bits, noise_var):
     num_planes = mc.num_planes
     reps, rows, _ = bits.shape
     nt = rows // mc._tile
-    key = (mc._tile, lane, reps, nt, mc._K, mc._NR)
+    key = (mc._tile, lane, reps, nt, mc._K, mc._NR, mc._mode)
     if key not in _DIRECT_CACHE:
         @jax.jit
         def run(b, nv):
@@ -176,6 +176,36 @@ class TestGeometryMenu:
         H = _channels_from_bits(mc, bits)
         caps = _xla_caps(H, K=4).reshape(1, 1, mc._tile * mc._lane)
         np.testing.assert_allclose(got, caps.sum(axis=-1), rtol=3e-3)
+
+
+class TestModeMenu:
+    """The water-filling MODE menu of the kernel
+    (global / normalized / none), each pinned against the XLA chain's
+    mode (reference blockdiagonalization.py:365-565) on identical
+    channels."""
+
+    @pytest.mark.parametrize("mode", ["global", "none"])
+    def test_capacity_matches_xla_chain(self, mode):
+        mc = MonteCarloBD(tile=8, lane=128, K=2, Nr_u=2, mode=mode)
+        bits = _draw_bits(jax.random.PRNGKey(60), mc, 1, 1)
+        got, _ = _direct_caps(mc, bits, 1.0)
+        H = _channels_from_bits(mc, bits)
+        caps = _xla_caps(H, K=2, mode=mode).reshape(
+            1, 1, mc._tile * mc._lane)
+        np.testing.assert_allclose(got, caps.sum(axis=-1), rtol=3e-3)
+
+    def test_mode_ordering(self):
+        """Global WF >= normalized (a pure down-scale) >= 0; all three
+        modes positive on the same channels."""
+        bits = None
+        caps = {}
+        for mode in ("global", "normalized", "none"):
+            mc = MonteCarloBD(tile=8, lane=128, K=2, Nr_u=2, mode=mode)
+            if bits is None:
+                bits = _draw_bits(jax.random.PRNGKey(61), mc, 1, 1)
+            caps[mode] = float(_direct_caps(mc, bits, 1.0)[0].sum())
+        assert caps["global"] >= caps["normalized"] > 0
+        assert caps["none"] > 0
 
 
 class TestShardedInject:
