@@ -194,6 +194,10 @@ class TestAntennaStreamMenu:
     option, algorithms.py:347-368 — fed the numpy replication of the
     kernel's orthogonal-iteration init)."""
 
+    @pytest.mark.heavy  # ~50 s each: the 4x4 general program's
+    # XLA:CPU compile dominates; the default profile still pins the
+    # K menu and the (2,1) bench point, and the FULL profile (recorded
+    # in CLAUDE.md) runs these
     @pytest.mark.parametrize("K,N,Ns", [(3, 4, 1), (2, 4, 2)])
     def test_capacity_matches_xla_solver_fix_init(self, K, N, Ns):
         mc = MonteCarloMaxSinr(tile=8, lane=128, iterations=2, K=K,
