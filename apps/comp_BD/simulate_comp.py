@@ -92,19 +92,6 @@ def _hexagon_fan(cluster):
     return centers, verts
 
 
-def _sample_positions(rs, centers, verts):
-    """One uniform position inside each of the K hexagonal cells:
-    choose one of the 6 fan triangles per cell, then the standard
-    sqrt-uniform barycentric draw (exact, no rejection loop)."""
-    K = centers.size
-    tri = rs.randint(0, 6, size=K)
-    r1 = np.sqrt(rs.rand(K))
-    r2 = rs.rand(K)
-    A = verts[np.arange(K), tri] - centers
-    B = verts[np.arange(K), (tri + 1) % 6] - centers
-    return centers + r1 * (A + r2 * (B - A))
-
-
 class BDSimulationRunner(SimulationRunner):
     """The reference's ``BDSimulationRunner`` (simulate_comp.py:30-660)
     on the TPU engine: one runner computes ALL six metric variants per
@@ -170,36 +157,62 @@ class BDSimulationRunner(SimulationRunner):
             float(self.params["cell_radius"])))
         return float(dB2Linear(snr_db)) * self.noise_var / pl_border
 
-    def _positions_for_attempt(self, p, attempt: int) -> np.ndarray:
-        """User positions (K,) complex for one absolute attempt index —
-        a pure function of (base_seed, unpack_index, attempt), which is
-        what makes the bulk path chunk-size invariant and resumable."""
+    def _positions_for_attempts(self, p, start: int, n: int) -> np.ndarray:
+        """User positions (n, K) complex for absolute attempts
+        [start, start+n) — a pure function of (base_seed, unpack_index,
+        attempt), which is what makes the bulk path chunk-size
+        invariant and resumable.
+
+        Random drops ride ONE counter-based Philox stream keyed by
+        (base_seed, unpack_index): attempt ``i`` owns a fixed
+        BLOCK-ALIGNED draw window (Philox counters index 4-word output
+        blocks, so each attempt gets ceil(3K/4) whole blocks — setting
+        ``counter = start * blocks_per_attempt`` reaches it in O(1);
+        ``Philox.advance`` does NOT align with stream positions and
+        cannot be used here). Any chunking/resume therefore reads
+        identical values, the whole chunk is one vectorized draw, and
+        there is no per-attempt RandomState construction (which
+        measured ~0.4 ms/attempt and dominated the engine at wide
+        chunks)."""
         method = str(p["user_positioning_method"])
-        if method == "Random":
-            rs = np.random.RandomState(np.array(
-                [self.base_seed & 0x7FFFFFFF, max(p.unpack_index, 0),
-                 attempt], dtype=np.uint32))
-            return _sample_positions(rs, self._centers, self._verts)
-        # Symmetric Far Away (simulate_comp.py:171-185): fixed border
-        # points at 70% radius, angles 210 / -30 / 90 degrees
-        if self._centers.size != 3:
-            raise ValueError("'Symmetric Far Away' needs num_cells == 3")
-        ang = np.deg2rad(np.array([210.0, -30.0, 90.0]))
-        r = 0.7 * float(self.params["cell_radius"])
-        return self._centers + r * np.exp(1j * ang)
+        K = self._centers.size
+        if method != "Random":
+            # Symmetric Far Away (simulate_comp.py:171-185): fixed
+            # border points at 70% radius, angles 210 / -30 / 90 deg
+            if K != 3:
+                raise ValueError(
+                    "'Symmetric Far Away' needs num_cells == 3")
+            ang = np.deg2rad(np.array([210.0, -30.0, 90.0]))
+            r = 0.7 * float(self.params["cell_radius"])
+            return np.tile(self._centers + r * np.exp(1j * ang), (n, 1))
+        B = 3 * K                          # doubles needed per attempt
+        blocks = (B + 3) // 4              # whole 4-word blocks
+        W = 4 * blocks                     # words drawn per attempt
+        bg = np.random.Philox(
+            key=np.array([self.base_seed & 0xFFFFFFFFFFFFFFFF,
+                          max(p.unpack_index, 0)], dtype=np.uint64),
+            counter=np.array([start * blocks, 0, 0, 0], np.uint64))
+        u = np.random.Generator(bg).random(n * W).reshape(n, W)
+        # exact triangle-fan hexagon sampling, vectorized over attempts
+        tri = np.minimum((u[:, :K] * 6).astype(np.int64), 5)
+        r1 = np.sqrt(u[:, K:2 * K])
+        r2 = u[:, 2 * K:3 * K]
+        k_idx = np.arange(K)[None, :]
+        A = self._verts[k_idx, tri] - self._centers[None, :]
+        Bv = self._verts[k_idx, (tri + 1) % 6] - self._centers[None, :]
+        return self._centers[None, :] + r1 * (A + r2 * (Bv - A))
+
+    def _positions_for_attempt(self, p, attempt: int) -> np.ndarray:
+        """Scalar view of :meth:`_positions_for_attempts` (the host
+        parity engine's per-repetition call — same stream, same
+        values)."""
+        return self._positions_for_attempts(p, attempt, 1)[0]
 
     def _scenario_pathloss(self, p, start: int, n: int):
         """sqrt path-loss arrays for attempts [start, start+n):
-        (n, K, K) user-to-cell and (n, K) ext-int-to-user. Only the
-        per-attempt position draw stays in the Python loop (each
-        attempt owns an independent RandomState keyed by the absolute
-        index — the chunk-invariance contract); the path-loss math is
-        one vectorized call over the whole chunk (at chunk 2048 the
-        per-attempt calc_path_loss calls dominated the host side)."""
-        K = self._centers.size
-        pos = np.empty((n, K), complex)
-        for i in range(n):
-            pos[i] = self._positions_for_attempt(p, start + i)
+        (n, K, K) user-to-cell and (n, K) ext-int-to-user; one
+        vectorized position draw + one vectorized path-loss call."""
+        pos = self._positions_for_attempts(p, start, n)
         dists = np.abs(pos[:, :, None] - self._centers[None, None, :])
         spl = np.sqrt(self.path_loss_obj.calc_path_loss(dists))
         d_center = np.abs(pos - self._cluster0.pos)
@@ -354,16 +367,61 @@ class BDSimulationRunner(SimulationRunner):
             return out
 
         if cache_key not in self._vkernels:
-            self._vkernels[cache_key] = jax.jit(jax.vmap(rep_kernel))
-        vkernel = self._vkernels[cache_key]
+            vmapped = jax.vmap(rep_kernel)
+            box = {}
+
+            @jax.jit
+            def packed(keys, spl, spl_i):
+                out = vmapped(keys, spl, spl_i)
+                leaves, treedef = jax.tree_util.tree_flatten(out)
+                box["treedef"] = treedef  # static, set at trace time
+                # ONE (C, n) f32 device array -> ONE host fetch: the
+                # relay charges its fixed ~24 ms PER TRANSFER, so
+                # fetching the ~31 per-metric result arrays separately
+                # cost ~750 ms/chunk (measured best-of-4) while the
+                # program itself runs in ~60 ms; packing is a 10x
+                # engine speedup (bools ride as exact 0.0/1.0 and the
+                # runner's __valid__ cast restores them)
+                return jnp.stack([jnp.asarray(l, jnp.float32)
+                                  for l in leaves])
+
+            self._vkernels[cache_key] = (packed, box)
+        packed, box = self._vkernels[cache_key]
+
+        class _PackStore:
+            """One host fetch for the whole packed chunk, performed
+            LAZILY so the runner's double-buffered bulk loop can
+            enqueue chunk k+1 before chunk k's transfer happens."""
+
+            def __init__(self, dev):
+                self._dev = dev
+                self._host = None
+
+            def row(self, i):
+                if self._host is None:
+                    self._host = np.asarray(self._dev)
+                    self._dev = None
+                return self._host[i]
+
+        class _PackedLeaf:
+            def __init__(self, store, idx):
+                self._store, self._idx = store, idx
+
+            def __array__(self, dtype=None, copy=None):
+                arr = self._store.row(self._idx)
+                return arr.astype(dtype) if dtype is not None else arr
 
         def bulk(start, n):
             spl, spl_i = self._scenario_pathloss(p, start, n)
             keys = jax.vmap(
                 lambda i: jax.random.fold_in(base, i))(
                     np.arange(start, start + n))
-            return vkernel(keys, jnp.asarray(spl, jnp.float32),
-                           jnp.asarray(spl_i, jnp.float32))
+            stacked = packed(keys, jnp.asarray(spl, jnp.float32),
+                             jnp.asarray(spl_i, jnp.float32))
+            store = _PackStore(stacked)
+            leaves = [_PackedLeaf(store, i)
+                      for i in range(box["treedef"].num_leaves)]
+            return jax.tree_util.tree_unflatten(box["treedef"], leaves)
 
         return bulk
 
