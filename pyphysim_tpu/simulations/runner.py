@@ -703,8 +703,14 @@ class SimulationRunner:
         import jax.numpy as jnp
 
         batched = jax.vmap(kernel)
+        box = {}  # static treedef + per-chunk-size leaf specs
 
         if self.batch_stop_criterion is None:
+            def packed_fn(keys):
+                out = batched(keys)
+                ones = jnp.ones(keys.shape[0], bool)
+                return self._pack_tree(out, ones, box)
+
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 key_sharding = NamedSharding(self.mesh, P(self.mesh_axis))
@@ -716,22 +722,21 @@ class SimulationRunner:
                 # back to the launcher' semantics (runner.py:1857-1886)
                 # without a pickle channel.
                 rep_sharding = NamedSharding(self.mesh, P())
-                run = jax.jit(batched, in_shardings=(key_sharding,),
+                run = jax.jit(packed_fn, in_shardings=(key_sharding,),
                               out_shardings=rep_sharding)
 
                 def executor(keys, prior_metric):
                     del prior_metric
-                    out = run(self._globalize(keys, key_sharding))
-                    return out, np.ones(keys.shape[0], dtype=bool)
+                    return self._LazyChunk(
+                        run(self._globalize(keys, key_sharding)), box)
 
                 return executor
 
-            run = jax.jit(batched)
+            run = jax.jit(packed_fn)
 
             def executor(keys, prior_metric):
                 del prior_metric
-                out = run(keys)
-                return out, np.ones(keys.shape[0], dtype=bool)
+                return self._LazyChunk(run(keys), box)
 
             return executor
 
@@ -771,14 +776,18 @@ class SimulationRunner:
                 lambda x: x.reshape((-1,) + x.shape[2:]), outs)
             return flat, actives.reshape(-1)
 
+        def chunk_fn_packed(keys, prior_metric):
+            flat, actives = chunk_fn(keys, prior_metric)
+            return self._pack_tree(flat, actives, box)
+
         sub_sharding = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sub_sharding = NamedSharding(self.mesh, P(None, self.mesh_axis))
-            run = jax.jit(chunk_fn, in_shardings=(sub_sharding, None),
+            run = jax.jit(chunk_fn_packed, in_shardings=(sub_sharding, None),
                           out_shardings=NamedSharding(self.mesh, P()))
         else:
-            run = jax.jit(chunk_fn)
+            run = jax.jit(chunk_fn_packed)
 
         def executor(keys, prior_metric):
             nk = keys.shape[0]
@@ -786,8 +795,7 @@ class SimulationRunner:
             keys = keys.reshape((n_sub, sub) + keys.shape[1:])
             if sub_sharding is not None:
                 keys = self._globalize(keys, sub_sharding)
-            out, active = run(keys, prior_metric)
-            return out, np.asarray(active)
+            return self._LazyChunk(run(keys, prior_metric), box)
 
         return executor
 
@@ -884,15 +892,17 @@ class SimulationRunner:
             needed = self.rep_max - current_rep
             nk = min(bsize, self._round_chunk(needed))
             if pending is not None and pending[:2] == (cursor, nk):
-                out, active = pending[2]
+                lazy = pending[2]
             else:
-                out, active = dispatch(cursor, nk)
+                lazy = dispatch(cursor, nk)
             pending = None
             if speculate and needed > nk:
                 nk_next = min(bsize, self._round_chunk(needed - nk))
                 pending = (cursor + nk, nk_next,
                            dispatch(cursor + nk, nk_next))
-            out = jax.tree_util.tree_map(np.asarray, out)
+            # ONE host transfer for the whole chunk (out tree + active
+            # mask), AFTER the speculative dispatch above was enqueued
+            out, active = lazy.materialize()
             elapsed = time.time() - tic
 
             n_accept, consumed, n_skip = self._consume_chunk(
@@ -912,6 +922,65 @@ class SimulationRunner:
                 break
         self._merge_skip_count(current_results, 0)
         return current_rep
+
+    @staticmethod
+    def _pack_tree(out, actives, box):
+        """Inside-jit packing of a chunk's output tree + active mask
+        into ONE f32 matrix (nk, D): on a remote-attached device every
+        host transfer pays a FIXED latency (~24 ms through the axon
+        relay), so a kernel with many declared results would otherwise
+        pay it once PER ARRAY per chunk. int32/uint32/bool leaves ride
+        as exact bitcasts (bool via int32), so the round trip is
+        bit-exact; static leaf specs are recorded per chunk size."""
+        import jax
+        import jax.numpy as jnp
+        leaves, treedef = jax.tree_util.tree_flatten(out)
+        leaves = leaves + [actives]
+        nk = actives.shape[0]
+        cols, specs = [], []
+        for leaf in leaves:
+            x = jnp.asarray(leaf)
+            specs.append((np.dtype(x.dtype), x.shape))
+            if x.dtype == jnp.bool_:
+                x = x.astype(jnp.int32)
+            if x.dtype in (jnp.int32, jnp.uint32):
+                x = jax.lax.bitcast_convert_type(x, jnp.float32)
+            elif x.dtype != jnp.float32:
+                x = x.astype(jnp.float32)  # (b)f16 upcasts are exact
+            cols.append(x.reshape(nk, -1))
+        box["treedef"] = treedef
+        box["specs", nk] = specs
+        return jnp.concatenate(cols, axis=-1)
+
+    class _LazyChunk:
+        """Deferred single-transfer chunk outputs: ``materialize()``
+        fetches the packed matrix once (AFTER the loop has enqueued
+        the next speculative chunk, preserving the double-buffer
+        overlap) and rebuilds ``(out_tree, actives)``."""
+
+        def __init__(self, dev, box):
+            self._dev, self._box = dev, box
+
+        def materialize(self):
+            import jax
+            host = np.asarray(self._dev)
+            nk = host.shape[0]
+            specs = self._box["specs", nk]
+            leaves, off = [], 0
+            for dtype, shape in specs:
+                w = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+                col = np.ascontiguousarray(host[:, off:off + w])
+                off += w
+                if dtype == np.bool_:
+                    arr = col.view(np.int32).astype(bool)
+                elif dtype in (np.dtype(np.int32), np.dtype(np.uint32)):
+                    arr = col.view(dtype)
+                else:
+                    arr = col.astype(dtype, copy=False)
+                leaves.append(arr.reshape(shape))
+            actives = leaves.pop()
+            return (jax.tree_util.tree_unflatten(self._box["treedef"],
+                                                 leaves), actives)
 
     def _consume_chunk(self, out, active, nk, needed, elapsed,
                        current_results) -> Tuple[int, int, int]:
