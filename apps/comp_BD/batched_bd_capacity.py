@@ -34,7 +34,8 @@ import numpy as np
 
 from pyphysim_tpu.comm import bd_precoders_batched
 from pyphysim_tpu.ops.bd_pallas import MonteCarloBD
-from pyphysim_tpu.simulations import Result, SimulationRunner
+from pyphysim_tpu.simulations import (Result, SimulationRunner,
+                                      kernel_stream_seed)
 from pyphysim_tpu.utils.conversion import dB2Linear
 from pyphysim_tpu.utils.misc import randn_c
 
@@ -116,7 +117,7 @@ class BDKernelCapacityRunner(SimulationRunner):
         mesh = self.mesh
 
         if self._tpu:
-            seed = (self.base_seed * 1000003 + unpack_idx) & 0x7FFFFFFF
+            seed = kernel_stream_seed(self.base_seed, unpack_idx)
 
             def bulk(start, n):
                 fkey = (iPu, n, mesh)

@@ -373,55 +373,32 @@ class BDSimulationRunner(SimulationRunner):
             @jax.jit
             def packed(keys, spl, spl_i):
                 out = vmapped(keys, spl, spl_i)
-                leaves, treedef = jax.tree_util.tree_flatten(out)
-                box["treedef"] = treedef  # static, set at trace time
-                # ONE (C, n) f32 device array -> ONE host fetch: the
-                # relay charges its fixed ~24 ms PER TRANSFER, so
-                # fetching the ~31 per-metric result arrays separately
-                # cost ~750 ms/chunk (measured best-of-4) while the
-                # program itself runs in ~60 ms; packing is a 10x
-                # engine speedup (bools ride as exact 0.0/1.0 and the
-                # runner's __valid__ cast restores them)
-                return jnp.stack([jnp.asarray(l, jnp.float32)
-                                  for l in leaves])
+                # the engine's single-transfer packing: the relay
+                # charges its fixed ~24 ms PER TRANSFER, so fetching
+                # the ~31 per-metric result arrays separately cost
+                # ~750 ms/chunk (measured best-of-4) while the program
+                # itself runs in ~60 ms — a 10x engine speedup
+                ones = jnp.ones(keys.shape[0], bool)
+                return self._pack_tree(out, ones, box)
 
             self._vkernels[cache_key] = (packed, box)
+            # bounded cache: a full sweep visits dozens of parameter
+            # points, each a large compiled program — keep the bench's
+            # warm/timed reuse without unbounded executable retention
+            while len(self._vkernels) > 4:
+                self._vkernels.pop(next(iter(self._vkernels)))
         packed, box = self._vkernels[cache_key]
-
-        class _PackStore:
-            """One host fetch for the whole packed chunk, performed
-            LAZILY so the runner's double-buffered bulk loop can
-            enqueue chunk k+1 before chunk k's transfer happens."""
-
-            def __init__(self, dev):
-                self._dev = dev
-                self._host = None
-
-            def row(self, i):
-                if self._host is None:
-                    self._host = np.asarray(self._dev)
-                    self._dev = None
-                return self._host[i]
-
-        class _PackedLeaf:
-            def __init__(self, store, idx):
-                self._store, self._idx = store, idx
-
-            def __array__(self, dtype=None, copy=None):
-                arr = self._store.row(self._idx)
-                return arr.astype(dtype) if dtype is not None else arr
 
         def bulk(start, n):
             spl, spl_i = self._scenario_pathloss(p, start, n)
             keys = jax.vmap(
                 lambda i: jax.random.fold_in(base, i))(
                     np.arange(start, start + n))
-            stacked = packed(keys, jnp.asarray(spl, jnp.float32),
-                             jnp.asarray(spl_i, jnp.float32))
-            store = _PackStore(stacked)
-            leaves = [_PackedLeaf(store, i)
-                      for i in range(box["treedef"].num_leaves)]
-            return jax.tree_util.tree_unflatten(box["treedef"], leaves)
+            # lazy: the bulk loop enqueues the next speculative chunk
+            # before materialize() triggers the one host fetch
+            return self._LazyChunk(
+                packed(keys, jnp.asarray(spl, jnp.float32),
+                       jnp.asarray(spl_i, jnp.float32)), box)
 
         return bulk
 

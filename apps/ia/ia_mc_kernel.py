@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from pyphysim_tpu.ops.ia_pallas import MonteCarloMaxSinr
-from pyphysim_tpu.simulations import Result, SimulationRunner
+from pyphysim_tpu.simulations import (Result, SimulationRunner,
+                                      kernel_stream_seed)
 from pyphysim_tpu.utils.conversion import dB2Linear
 
 
@@ -61,7 +62,7 @@ class IaMcKernelSimulationRunner(SimulationRunner):
         mesh = self.mesh
 
         if self._tpu:
-            seed = (self.base_seed * 1000003 + unpack_idx) & 0x7FFFFFFF
+            seed = kernel_stream_seed(self.base_seed, unpack_idx)
 
             def bulk(start, n):
                 fkey = (n, mesh)

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from pyphysim_tpu.ops.alamouti_pallas import MonteCarloAlamouti
-from pyphysim_tpu.simulations import Result, SimulationRunner
+from pyphysim_tpu.simulations import (Result, SimulationRunner,
+                                      kernel_stream_seed)
 from pyphysim_tpu.utils.conversion import dB2Linear
 
 
@@ -60,7 +61,7 @@ class AlamoutiMcKernelSimulationRunner(SimulationRunner):
         mesh = self.mesh
 
         if self._tpu:
-            seed = (self.base_seed * 1000003 + unpack_idx) & 0x7FFFFFFF
+            seed = kernel_stream_seed(self.base_seed, unpack_idx)
 
             def bulk(start, n):
                 fkey = (n, mesh)

@@ -29,7 +29,8 @@ from pyphysim_tpu.channels import (COST259_TUx, JakesSampleGenerator,
                                    TdlChannel)
 from pyphysim_tpu.modulators import OFDM
 from pyphysim_tpu.ops.mc_pallas import MonteCarloOfdmTdl
-from pyphysim_tpu.simulations import Result, SimulationRunner
+from pyphysim_tpu.simulations import (Result, SimulationRunner,
+                                      kernel_stream_seed)
 from pyphysim_tpu.utils.conversion import dB2Linear
 
 
@@ -79,7 +80,7 @@ class OfdmMcKernelSimulationRunner(SimulationRunner):
         if self._tpu:
             # in-kernel hardware PRNG; streams keyed by
             # (seed, unpack_index-folded) x absolute attempt index
-            seed = (self.base_seed * 1000003 + unpack_idx) & 0x7FFFFFFF
+            seed = kernel_stream_seed(self.base_seed, unpack_idx)
 
             def bulk(start, n):
                 fkey = (n, mesh)

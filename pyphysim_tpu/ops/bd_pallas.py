@@ -50,7 +50,9 @@ from .pallas_planes import (EPS, cabs2, gram_full, gram_rows,
 
 __all__ = ["MonteCarloBD", "CH_PLANES"]
 
-# default (bench) geometry: K=3 users x 2 rx antennas, Nt_total=6
+# bit planes of the DEFAULT (bench) geometry K=3 users x 2 rx
+# antennas, Nt_total=6 — the contract for any geometry is the instance
+# property ``MonteCarloBD.num_planes`` (= (K*Nr_u)^2 * 2)
 CH_PLANES = 6 * 6 * 2            # 72
 _CLIP = 0.99999994
 

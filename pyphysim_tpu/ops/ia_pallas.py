@@ -48,8 +48,11 @@ from .pallas_planes import (EPS as _EPS, cabs2 as _cabs2, cadd as _cadd,
 
 __all__ = ["MonteCarloMaxSinr", "CH_PLANES"]
 
-K = 3
-CH_PLANES = K * K * 4 * 2   # 72: (k, j, entry, re/im)
+# bit planes of the DEFAULT (bench) geometry K=3, N=2 — kept for
+# callers sizing buffers for the default; the contract for any
+# geometry is the instance property ``MonteCarloMaxSinr.num_planes``
+# (= K*K*N*N*2)
+CH_PLANES = 3 * 3 * 4 * 2   # 72: (k, j, entry, re/im)
 _CLIP = 0.99999994
 
 
@@ -504,7 +507,7 @@ class MonteCarloMaxSinr:
                      interpret: bool = True, mesh=None,
                      axis: str = "mc"):
         """Same math with the channel bits supplied as ONE uint32
-        tensor ``(reps, num_tiles * tile, CH_PLANES * lane)`` (plane i
+        tensor ``(reps, num_tiles * tile, num_planes * lane)`` (plane i
         occupies lanes [i*lane, (i+1)*lane)):
         ``fn(ch_bits, noise_var) -> (reps, num_tiles) f32``.
 

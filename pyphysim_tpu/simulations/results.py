@@ -399,9 +399,14 @@ class SimulationResults(serialize.JsonSerializable):
         # bookkeeping results may exist on only one side (e.g. a resumed
         # checkpoint carries num_skipped_reps/elapsed_time before the new
         # chunk produced them — parity with results.py:1136-1159 which
-        # special-cases exactly this)
+        # special-cases exactly this). Symmetrically, when ONLY
+        # bookkeeping has accumulated so far (a skip merged before the
+        # first accepted repetition), the first real results adopt
+        # their names instead of raising.
         bookkeeping = {"num_skipped_reps", "elapsed_time"}
-        if (mine - theirs) - bookkeeping or (theirs - mine) - bookkeeping:
+        real_mine = mine - bookkeeping
+        if ((mine - theirs) - bookkeeping or
+                (real_mine and (theirs - mine) - bookkeeping)):
             raise RuntimeError(
                 "Cannot merge SimulationResults with different result names")
         for name in theirs:

@@ -63,7 +63,17 @@ from .parameters import SimulationParameters
 from .results import Result, SimulationResults
 
 __all__ = ["SimulationRunner", "SkipThisOne", "get_common_parser",
-           "get_partial_results_filename"]
+           "get_partial_results_filename", "kernel_stream_seed"]
+
+
+def kernel_stream_seed(base_seed: int, unpack_index: int) -> int:
+    """Per-variation int32 seed for a hardware-PRNG bulk kernel's
+    stream family (the kernel-tier apps' shared keying: one fix to the
+    formula applies to every app; attempt-level independence comes
+    from the kernel's absolute-index streams, variation-level from
+    this)."""
+    return (int(base_seed) * 1000003 + max(int(unpack_index), 0)) \
+        & 0x7FFFFFFF
 
 
 def get_partial_results_filename(
@@ -241,7 +251,13 @@ class SimulationRunner:
         metric approaches the limit, so a kernel that caches one
         compiled program per distinct ``n`` compiles at most 4. Returning
         lazy jax arrays (not numpy) lets the runner enqueue chunk k+1
-        before fetching chunk k (double-buffered dispatch). Sharding is
+        before fetching chunk k (double-buffered dispatch). A kernel
+        with MANY declared results should return the runner's packed
+        single-transfer form instead: call ``self._pack_tree(out_tree,
+        ones_mask, box)`` inside its jitted program and return
+        ``self._LazyChunk(packed, box)`` — one fixed-latency host
+        transfer per chunk instead of one per result array (see
+        ``apps/comp_BD/simulate_comp.py``). Sharding is
         the kernel's own responsibility — ``self.mesh`` is set while
         :meth:`simulate_in_parallel` runs, and ``ops/mc_pallas.build``
         accepts it to split the rep axis over the mesh with per-device
@@ -620,17 +636,26 @@ class SimulationRunner:
 
     def _serial_loop(self, current_params, current_results, current_rep,
                      pbar) -> int:
-        num_skipped = 0
         # ``serial_attempt`` is the serial path's analog of the bulk
         # path's absolute attempt cursor: monotone within a variation
         # (skipped attempts advance it, so retries get fresh
-        # randomness) and derived from the PERSISTED repetition count,
-        # so a checkpoint-resume continues the attempt sequence instead
-        # of replaying realizations already accumulated. User
+        # randomness) and derived from the PERSISTED repetition AND
+        # skip counts, so a checkpoint-resume continues the attempt
+        # sequence instead of replaying realizations already
+        # accumulated — including after skips, which is why every skip
+        # is merged into the results IMMEDIATELY (so mid-loop
+        # checkpoints carry the running skip count, exactly like the
+        # bulk path's ``cursor = current_rep + skipped_before``). User
         # ``_run_simulation`` code that seeds per-repetition randomness
         # should key it on this (plus the variation's unpack_index)
         # rather than an in-memory counter.
-        attempt = current_rep
+        skipped_before = 0
+        if "num_skipped_reps" in current_results and \
+                current_results["num_skipped_reps"]:
+            prior = current_results["num_skipped_reps"][-1]
+            if prior.num_updates > 0:
+                skipped_before = int(prior.get_result())
+        attempt = current_rep + skipped_before
         while current_rep < self.rep_max and self._keep_going(
                 current_params, current_results, current_rep):
             tic = time.time()
@@ -639,7 +664,7 @@ class SimulationRunner:
             try:
                 rep_results = self._run_simulation(current_params)
             except SkipThisOne:
-                num_skipped += 1
+                self._merge_skip_count(current_results, 1)
                 continue
             elapsed = time.time() - tic
             rep_results.add_result(
@@ -649,7 +674,7 @@ class SimulationRunner:
             pbar.progress(current_rep)
             self._save_partial_results_maybe(current_rep, current_params,
                                              current_results)
-        self._merge_skip_count(current_results, num_skipped)
+        self._merge_skip_count(current_results, 0)  # ensure existence
         return current_rep
 
     @staticmethod
@@ -1104,7 +1129,14 @@ class SimulationRunner:
             pending = None
             if speculate and needed > nk:
                 pending = (cursor + nk, bsize, bulk(cursor + nk, bsize))
-            out = jax.tree_util.tree_map(np.asarray, out)
+            if isinstance(out, SimulationRunner._LazyChunk):
+                # a bulk kernel may return the runner's packed
+                # single-transfer form directly (build with
+                # _pack_tree inside its jitted program) — one host
+                # fetch for the whole chunk instead of one per result
+                out, _ = out.materialize()
+            else:
+                out = jax.tree_util.tree_map(np.asarray, out)
             elapsed = time.time() - tic
             active = np.ones(nk, dtype=bool)
             n_accept, consumed, n_skip = self._consume_chunk(

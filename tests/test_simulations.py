@@ -510,6 +510,51 @@ class TestSimulationRunner:
         r2.simulate()
         assert seen == [1, 2, 3, 4, 5, 6, 7]
 
+    def test_serial_attempt_cursor_resume_with_skips(self, tmp_path):
+        """Skips advance the persisted cursor too: a resumed run never
+        replays an accepted attempt's index even when skips preceded
+        the checkpoint (the skip count is merged into the results
+        immediately, so it persists — round-5 review finding)."""
+        from pyphysim_tpu.simulations import (Result, SimulationResults,
+                                              SimulationRunner)
+        from pyphysim_tpu.simulations.runner import SkipThisOne
+        seen = []
+
+        class _SkipRunner(SimulationRunner):
+            def __init__(self):
+                super().__init__(read_command_line_args=False)
+                self.params.add("x", 1.0)
+                self.rep_max = 2
+                self.update_progress_function_style = None
+
+            def _run_simulation(self, p):
+                seen.append(self.serial_attempt)
+                if self.serial_attempt == 1:
+                    raise SkipThisOne("degenerate draw")
+                res = SimulationResults()
+                res.add_result(Result.create(
+                    "v", Result.SUMTYPE, float(self.serial_attempt)))
+                return res
+
+        r = _SkipRunner()
+        r.set_results_filename(str(tmp_path / "res"))
+        r.partial_results_folder = str(tmp_path / "partial")
+        r.simulate()
+        assert seen == [1, 2, 3]  # attempt 1 skipped, 2-3 accepted
+        assert int(r.results.get_result_values_list(
+            "num_skipped_reps")[0]) == 1
+
+        r2 = _SkipRunner()
+        r2.rep_max = 4
+        r2.set_results_filename(str(tmp_path / "res"))
+        r2.partial_results_folder = str(tmp_path / "partial")
+        r2.simulate()
+        # the resumed cursor continues PAST the skip: no attempt index
+        # is replayed, so no realization is double-counted
+        assert seen == [1, 2, 3, 4, 5]
+        assert float(r2.results.get_result_values_list("v")[0]) == \
+            2.0 + 3.0 + 4.0 + 5.0
+
     def test_checkpoint_mismatch_rejected(self, tmp_path):
         runner = _DummyBatchRunner()
         runner.set_results_filename(str(tmp_path / "res"))
