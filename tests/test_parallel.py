@@ -102,8 +102,26 @@ class TestGraftDryrun:
     # separately every round and records MULTICHIP_r*.json; CI keeps
     # the 2-device variant below for fast engine coverage
     def test_dryrun_multichip_8(self):
-        import __graft_entry__ as g
-        g.dryrun_multichip(8)
+        """Run in a fresh subprocess, exactly like the driver does:
+        under full-profile memory pressure the in-process run once hit
+        the known XLA:CPU native-crash class and took the xdist worker
+        down with it — isolation turns that into a plain failure with
+        the subprocess output attached."""
+        import os
+        import subprocess
+        import sys as _sys
+        repo = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..")
+        env = {**os.environ,
+               "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+               "JAX_PLATFORMS": "cpu"}
+        r = subprocess.run(
+            [_sys.executable, "-c",
+             "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+            cwd=repo, env=env, capture_output=True, text=True,
+            timeout=1500)
+        assert r.returncode == 0, f"\n{r.stdout}\n{r.stderr}"
+        assert "2-process (Gloo DCN) runner sweep" in r.stdout, r.stdout
 
     def test_dryrun_multichip_2(self, monkeypatch):
         import __graft_entry__ as g
